@@ -1,0 +1,140 @@
+"""Encoder/decoder U-Net blocks (reference: src/tinyedm/networks.py:210-329).
+
+NHWC, compute-dtype parametrized. The per-block embedding modulation is an
+fp32 island (reference disables autocast around it, networks.py:255-258,
+319-321): the embedding linear runs fp32, the modulation product and the
+following mp_silu stay fp32, and the next conv casts back to the compute
+dtype — mirroring torch autocast semantics exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tinyedm_tpu.models.layers import (
+    CosineAttention,
+    ScaleLong,
+    WNConv,
+    WNLinear,
+    downsample_2x,
+    upsample_2x,
+)
+from tinyedm_tpu.ops.mp import mp_add, mp_silu, pixel_norm
+
+Dtype = Any
+
+
+class EncoderBlock(nn.Module):
+    """Reference EncoderBlock (networks.py:210-265).
+
+    resample(down?) -> 1x1 conv (if channels change) -> pixel_norm(channels)
+    -> residual branch [mp_silu -> 3x3 -> emb-mod(fp32) -> mp_silu -> dropout
+    -> 3x3] -> mp_add(x, res, add_factor) -> optional cosine attention.
+    """
+
+    out_channels: int
+    down: bool = False
+    attention: bool = False
+    num_heads: int = 4
+    dropout_rate: float = 0.0
+    add_factor: float = 0.3
+    dtype: Dtype = jnp.float32
+    use_pallas_attention: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, embedding: jnp.ndarray, *, train: bool = False
+    ) -> jnp.ndarray:
+        if self.down:
+            x = downsample_2x(x)
+        if x.shape[-1] != self.out_channels:
+            x = WNConv(self.out_channels, 1, dtype=self.dtype, name="conv_1x1")(x)
+        x = pixel_norm(x, axis=-1)
+
+        res = mp_silu(x)
+        res = WNConv(self.out_channels, 3, dtype=self.dtype, name="conv_3x3_1")(res)
+
+        # fp32 island: embedding modulation (networks.py:255-258)
+        g = WNLinear(self.out_channels, dtype=jnp.float32, name="embed")(
+            embedding.astype(jnp.float32)
+        )
+        gain = self.param("gain", nn.initializers.ones, ())
+        res = res.astype(jnp.float32) * (g * gain + 1.0)[:, None, None, :]
+        res = mp_silu(res)
+        res = nn.Dropout(self.dropout_rate, deterministic=not train)(res)
+        res = WNConv(self.out_channels, 3, dtype=self.dtype, name="conv_3x3_2")(res)
+
+        out = mp_add(x, res, self.add_factor)
+        if self.attention:
+            out = CosineAttention(
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas_attention,
+                name="attention",
+            )(out)
+        return out
+
+
+class DecoderBlock(nn.Module):
+    """Reference DecoderBlock (networks.py:268-329).
+
+    If a skip is given it is concatenated scaled by a learned ScaleLong gain
+    (networks.py:309-311). Unlike the encoder there is no pixel_norm, and the
+    residual branch is taken from the resampled concat-input BEFORE the 1x1
+    conv (networks.py:313-317). The 1x1 conv exists only when
+    in+skip channels != out channels.
+    """
+
+    out_channels: int
+    up: bool = False
+    attention: bool = False
+    num_heads: int = 4
+    dropout_rate: float = 0.0
+    add_factor: float = 0.3
+    dtype: Dtype = jnp.float32
+    use_pallas_attention: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        embedding: jnp.ndarray,
+        skip: Optional[jnp.ndarray] = None,
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        if skip is not None:
+            gain = ScaleLong(dtype=self.dtype, name="cat_factor")(skip)
+            x = jnp.concatenate([x, skip.astype(self.dtype) * gain], axis=-1)
+        if self.up:
+            x = upsample_2x(x)
+
+        res = x
+        if x.shape[-1] != self.out_channels:
+            x = WNConv(self.out_channels, 1, dtype=self.dtype, name="conv_1x1")(x)
+
+        res = mp_silu(res)
+        res = WNConv(self.out_channels, 3, dtype=self.dtype, name="conv_3x3_1")(res)
+
+        # fp32 island: embedding modulation (networks.py:319-321)
+        g = WNLinear(self.out_channels, dtype=jnp.float32, name="embed")(
+            embedding.astype(jnp.float32)
+        )
+        gain = self.param("gain", nn.initializers.ones, ())
+        res = res.astype(jnp.float32) * (g * gain + 1.0)[:, None, None, :]
+        res = mp_silu(res)
+        res = nn.Dropout(self.dropout_rate, deterministic=not train)(res)
+        res = WNConv(self.out_channels, 3, dtype=self.dtype, name="conv_3x3_2")(res)
+
+        out = mp_add(x, res, self.add_factor)
+        if self.attention:
+            out = CosineAttention(
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas_attention,
+                name="attention",
+            )(out)
+        return out

@@ -1,0 +1,262 @@
+"""TPU-native magnitude-preserving layers.
+
+Functional (flax.linen) re-design of the reference's torch layers
+(src/tinyedm/networks.py:22-207). Key TPU-first choices:
+
+  * NHWC activations / HWIO weights — channels on the 128-lane axis so XLA
+    tiles convs and 1x1-conv matmuls straight onto the MXU.
+  * Explicit dtype policy instead of autocast: every module takes a compute
+    ``dtype`` (bf16 in training); parameters are stored fp32; the reference's
+    fp32 islands (embedding path, per-block modulation, pixel-norm reductions;
+    networks.py:10,164,255,319) are explicit casts here.
+  * "Forced weight normalization" (networks.py:32-34: in-place re-norm of the
+    stored weight each training forward) becomes a pure tree transform applied
+    once per optimizer step — see tinyedm_tpu.training.force_weight_norm.
+    The effective weight used by every forward is ``normalize(w)/sqrt(fan_in)``
+    with gradients flowing through the normalize, exactly as the reference
+    (networks.py:35-37, 58-60).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tinyedm_tpu.ops.mp import mp_add, mp_silu, normalize, pixel_norm, weight_normalize
+
+Dtype = Any
+
+
+def _normal_init(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+class WNLinear(nn.Module):
+    """Weight-normalized, bias-free linear layer (reference Linear, networks.py:46-64).
+
+    Stored weight: (out, in) fp32, init N(0,1). Effective weight:
+    normalize(w)/sqrt(fan_in), cast to ``dtype`` for the matmul.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        w = self.param("w", _normal_init, (self.features, in_features))
+        w_eff = weight_normalize(w) * (1.0 / math.sqrt(in_features))
+        x = x.astype(self.dtype)
+        return jax.lax.dot_general(
+            x,
+            w_eff.astype(self.dtype),
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=self.dtype,
+        )
+
+
+class WNConv(nn.Module):
+    """Weight-normalized, bias-free 2D conv, padding SAME (reference Conv2d,
+    networks.py:22-43). NHWC in/out; HWIO stored weight, init N(0,1)."""
+
+    features: int
+    kernel_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        w = self.param("w", _normal_init, (k, k, in_ch, self.features))
+        fan_in = in_ch * k * k
+        w_eff = weight_normalize(w) * (1.0 / math.sqrt(fan_in))
+        x = x.astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x,
+            w_eff.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
+
+
+def upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest-exact upsampling (reference UpSample, networks.py:67-72).
+
+    For an integer 2x factor, nearest-exact == repeat each pixel twice.
+    """
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def downsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average-pool downsampling (reference DownSample, networks.py:75-80).
+
+    Reshape-mean instead of reduce_window: cheaper for XLA to fuse.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.mean(axis=(2, 4))
+
+
+class UncertaintyNet(nn.Module):
+    """EDM2 multi-task uncertainty head (reference: networks.py:91-103).
+
+    Runs on the fp32 fourier embedding; entire module fp32.
+    """
+
+    hidden_features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(jnp.float32)
+        ones = jnp.ones_like(x[:, :1])
+        x = jnp.concatenate([x, ones], axis=-1)
+        x = mp_silu(WNLinear(self.hidden_features, dtype=jnp.float32)(x))
+        gain = self.param("gain", nn.initializers.zeros, ())
+        return gain * WNLinear(1, dtype=jnp.float32)(x)
+
+
+class ScaleLong(nn.Module):
+    """Learned skip-connection gain (ScaleLong; reference: networks.py:106-118).
+
+    Input: skip tensor (B, H, W, C). Output: per-channel gain (B, 1, 1, C).
+    """
+
+    r: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        ones = jnp.ones_like(x[..., :1])
+        x = jnp.concatenate([x, ones], axis=-1)
+        pooled = x.mean(axis=(1, 2), keepdims=True)  # (B,1,1,C+1)
+        h = WNConv(int(c // self.r), 1, dtype=self.dtype)(pooled)
+        h = mp_silu(h)
+        h = WNConv(c, 1, dtype=self.dtype)(h)
+        return jax.nn.sigmoid(h)
+
+
+class ClassEmbedding(nn.Module):
+    """One-hot class embedding scaled by sqrt(num_classes)
+    (reference: networks.py:121-129). fp32."""
+
+    num_classes: int
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, labels: jnp.ndarray) -> jnp.ndarray:
+        onehot = jax.nn.one_hot(labels.reshape(-1), self.num_classes, dtype=jnp.float32)
+        onehot = onehot * jnp.float32(math.sqrt(self.num_classes))
+        return WNLinear(self.embedding_dim, dtype=jnp.float32)(onehot)
+
+
+class FourierEmbedding(nn.Module):
+    """Random Fourier features (reference: networks.py:132-141).
+
+    freqs/phases are non-trainable constants (torch buffers) — stored in the
+    'constants' collection so the optimizer never touches them.
+    """
+
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        two_pi = 2.0 * math.pi
+        freqs = self.variable(
+            "constants",
+            "freqs",
+            lambda: two_pi * jax.random.normal(self.make_rng("params"), (self.embedding_dim,)),
+        ).value
+        phases = self.variable(
+            "constants",
+            "phases",
+            lambda: two_pi * jax.random.uniform(self.make_rng("params"), (self.embedding_dim,)),
+        ).value
+        x = x.reshape(-1).astype(jnp.float32)
+        y = jnp.cos(jnp.outer(x, freqs) + phases)
+        return y * jnp.float32(math.sqrt(2.0))
+
+
+class Embedding(nn.Module):
+    """sigma (+ optional class) embedding (reference: networks.py:144-178).
+
+    The whole forward is an fp32 island (reference disables autocast,
+    networks.py:164). Returns ``(fourier_embedding, embedding)``: the fourier
+    half feeds UncertaintyNet during training (edm.py:214).
+    """
+
+    fourier_dim: int
+    embedding_dim: int
+    num_classes: Optional[int] = None
+    add_factor: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, sigma: jnp.ndarray, class_labels: Optional[jnp.ndarray] = None
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        sigma = sigma.astype(jnp.float32)
+        c_noise = jnp.log(sigma) / 4.0  # preconditioning (networks.py:165)
+        fourier = FourierEmbedding(self.fourier_dim, name="fourier_embed")(c_noise)
+        emb = WNLinear(self.embedding_dim, dtype=jnp.float32, name="sigma_embed")(fourier)
+        if class_labels is not None:
+            if self.num_classes is None or self.num_classes == -1:
+                raise ValueError("class_labels given but num_classes is None")
+            class_emb = ClassEmbedding(
+                self.num_classes, self.embedding_dim, name="class_embed"
+            )(class_labels)
+            emb = mp_add(emb, class_emb, self.add_factor)
+        return fourier, mp_silu(emb)
+
+
+class CosineAttention(nn.Module):
+    """Cosine self-attention over spatial tokens (reference: networks.py:181-207).
+
+    qkv via 1x1 conv, pixel_norm over head_dim (=> cosine similarity logits),
+    softmax(QK^T/sqrt(d))V, 1x1 out conv, residual mp_add(x, y, 0.5).
+
+    Layout: tokens = H*W on the sublane axis, head_dim on the lane axis —
+    the (tokens, head_dim) layout SURVEY.md §5 calls for, so a Pallas
+    flash-attention kernel can slot in for large token counts.
+    Softmax runs in fp32.
+    """
+
+    num_heads: int = 4
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        assert c % self.num_heads == 0
+        hd = c // self.num_heads
+        n = h * w
+
+        qkv = WNConv(3 * c, 1, dtype=self.dtype, name="qkv_conv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        qkv = pixel_norm(qkv, axis=-1)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, heads, hd)
+
+        if self.use_pallas:
+            from tinyedm_tpu.ops.attention import flash_attention
+
+            y = flash_attention(q, k, v)
+        else:
+            scale = 1.0 / math.sqrt(hd)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * jnp.float32(scale)
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            y = jnp.einsum(
+                "bhqk,bkhd->bqhd", weights, v, preferred_element_type=self.dtype
+            )
+        y = y.reshape(b, h, w, c)
+        y = WNConv(c, 1, dtype=self.dtype, name="out_conv")(y)
+        return mp_add(x.astype(self.dtype), y, 0.5)
