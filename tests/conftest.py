@@ -2,14 +2,20 @@
 
 This is the JAX-idiomatic fake backend (SURVEY.md §4): multi-device sharding,
 psum'd metrics, and EMA-under-sharding are all testable without hardware via
-``--xla_force_host_platform_device_count``. Must run before jax is imported.
+``--xla_force_host_platform_device_count``. The environment ships an 'axon'
+TPU-tunnel plugin that overrides JAX_PLATFORMS, so we also force the config
+after import — before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,186 @@
+"""Train-step integration tests: optimization, forced weight norm, EMA, and
+gradient accumulation on a tiny model (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyedm_tpu.diffusion.diffuser import Diffuser
+from tinyedm_tpu.models.edm import EDM
+from tinyedm_tpu.models.layers import Embedding
+from tinyedm_tpu.models.unet import Denoiser
+from tinyedm_tpu.training.ema import EMAConfig
+from tinyedm_tpu.training.train_step import (
+    OptimizerConfig,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def tiny_model(num_classes=None, use_uncertainty=False):
+    embedding = Embedding(fourier_dim=8, embedding_dim=16, num_classes=num_classes)
+    denoiser = Denoiser(
+        in_channels=1,
+        out_channels=1,
+        embedding_dim=16,
+        num_heads=2,
+        sigma_data=0.5,
+        encoder_block_types=("Enc", "EncD"),
+        decoder_block_types=("Dec", "DecU", "Dec", "Dec"),
+        encoder_out_channels=(8, 16),
+        decoder_out_channels=(16, 8, 8, 8),
+        skip_connections=(True, False, True, True),
+        dtype=jnp.bfloat16,
+    )
+    return EDM(embedding=embedding, denoiser=denoiser, use_uncertainty=use_uncertainty)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_model()
+    diffuser = Diffuser(-1.2, 1.2)
+    opt_cfg = OptimizerConfig(lr=1e-3, rampup_steps=2, steady_steps=4)
+    ema_cfg = EMAConfig(sigma_rels=(0.05, 0.1))
+    batch = jnp.zeros((8, 8, 8, 1))
+    state = init_train_state(
+        jax.random.PRNGKey(0), model, batch, opt_cfg, ema_cfg
+    )
+    step = jax.jit(make_train_step(model, diffuser, opt_cfg, ema_cfg))
+    return model, diffuser, opt_cfg, ema_cfg, state, step
+
+
+def _fake_batch(key, n=8):
+    return (
+        jax.random.normal(key, (n, 8, 8, 1), jnp.float32) * 0.5,
+        jnp.zeros((n,), jnp.int32),
+    )
+
+
+def test_state_init(setup):
+    model, _, _, ema_cfg, state, _ = setup
+    assert int(state.step) == 0
+    assert len(state.ema) == 2
+    # stored weights are pre-normalized at init
+    w = state.params["denoiser"]["conv_in"]["w"]
+    rms = np.sqrt(np.mean(np.asarray(w).reshape(-1, w.shape[-1]) ** 2, axis=0))
+    np.testing.assert_allclose(rms, 1.0, rtol=1e-2)
+
+
+def test_train_step_runs_and_optimizes(setup):
+    model, _, _, _, state, step = setup
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(5):
+        batch = _fake_batch(jax.random.PRNGKey(100 + i))
+        state, metrics = step(state, batch, rng, jnp.asarray(i, jnp.float32))
+        losses.append(float(metrics["train_loss"]))
+    assert int(state.step) == 5
+    assert all(np.isfinite(losses))
+    # metrics include the raw accumulator pair
+    assert float(metrics["count"]) == 8
+
+
+def test_weight_norm_maintained_after_steps(setup):
+    model, _, _, _, state, step = setup
+    batch = _fake_batch(jax.random.PRNGKey(0))
+    state, _ = step(state, batch, jax.random.PRNGKey(1), jnp.asarray(0.0))
+    state, _ = step(state, batch, jax.random.PRNGKey(1), jnp.asarray(1.0))
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+        name = getattr(path[-1], "key", None)
+        if name == "w":
+            arr = np.asarray(leaf)
+            if arr.ndim == 4:
+                rms = np.sqrt(np.mean(arr.reshape(-1, arr.shape[-1]) ** 2, axis=0))
+            else:
+                rms = np.sqrt(np.mean(arr**2, axis=1))
+            np.testing.assert_allclose(rms, 1.0, rtol=2e-2)
+
+
+def test_ema_bootstrap_and_divergence(setup):
+    """Step 0 has decay 0, so after one step every EMA tree equals params
+    exactly (reference ema.py:273: decay=(1-1/1)^(g+1)=0)."""
+    model, _, _, _, state, step = setup
+    batch = _fake_batch(jax.random.PRNGKey(5))
+    state1, _ = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(0.0))
+    for e in state1.ema:
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), e, state1.params
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+    # after another step the two EMA profiles differ from params and each other
+    state2, _ = step(state1, batch, jax.random.PRNGKey(3), jnp.asarray(1.0))
+    d0 = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state2.ema[0], state2.params
+    )
+    assert max(jax.tree_util.tree_leaves(d0)) > 0
+    d01 = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state2.ema[0], state2.ema[1]
+    )
+    assert max(jax.tree_util.tree_leaves(d01)) > 0
+
+
+def test_grad_accum_matches_full_batch():
+    """accum_steps=2 over a batch must equal the mean-of-microbatch-grads
+    single step (same per-microbatch RNG folding)."""
+    model = tiny_model()
+    diffuser = Diffuser(-1.2, 1.2)
+    base = dict(lr=1e-2, rampup_steps=0, steady_steps=10)
+    cfg1 = OptimizerConfig(accum_steps=1, **base)
+    cfg2 = OptimizerConfig(accum_steps=2, **base)
+    batch_img = jax.random.normal(jax.random.PRNGKey(9), (8, 8, 8, 1))
+    batch = (batch_img, jnp.zeros((8,), jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(0), model, batch_img, cfg1)
+    step2 = jax.jit(make_train_step(model, diffuser, cfg2))
+    s2, m2 = step2(state, batch, jax.random.PRNGKey(1), jnp.asarray(5.0))
+    assert np.isfinite(float(m2["train_loss"]))
+    assert int(s2.step) == 1
+    # count accumulates across microbatches
+    assert float(m2["count"]) == 8
+
+
+def test_eval_step(setup):
+    model, diffuser, _, _, state, step = setup
+    ev = jax.jit(make_eval_step(model, diffuser, use_ema=False))
+    batch = _fake_batch(jax.random.PRNGKey(11))
+    out = ev(state, batch, jax.random.PRNGKey(12))
+    assert np.isfinite(float(out["sse"]))
+    assert float(out["count"]) == 8
+    ev_ema = jax.jit(make_eval_step(model, diffuser, use_ema=True, ema_index=1))
+    out2 = ev_ema(state, batch, jax.random.PRNGKey(12))
+    assert np.isfinite(float(out2["sse"]))
+
+
+def test_conditional_and_uncertainty_train_step():
+    model = tiny_model(num_classes=4, use_uncertainty=True)
+    diffuser = Diffuser(-1.2, 1.2)
+    cfg = OptimizerConfig(lr=1e-3, rampup_steps=1, steady_steps=2)
+    img = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 1))
+    labels = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    state = init_train_state(
+        jax.random.PRNGKey(0), model, img, cfg, sample_labels=labels
+    )
+    step = jax.jit(make_train_step(model, diffuser, cfg))
+    state, metrics = step(state, (img, labels), jax.random.PRNGKey(1), jnp.asarray(0.0))
+    assert "uncertainty" in metrics
+    assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_loss_decreases_on_fixed_batch():
+    """Overfit a single tiny batch at fixed sigma: late loss < early loss."""
+    model = tiny_model()
+    # P_std=0 -> sigma == exp(P_mean) exactly: removes the loss-weight noise
+    diffuser = Diffuser(P_mean=0.0, P_std=0.0)
+    cfg = OptimizerConfig(lr=3e-2, rampup_steps=0, steady_steps=100000)
+    img = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 8, 1)) * 0.5
+    batch = (img, jnp.zeros((16,), jnp.int32))
+    state = init_train_state(jax.random.PRNGKey(1), model, img, cfg)
+    step = jax.jit(make_train_step(model, diffuser, cfg))
+    losses = []
+    for i in range(200):
+        state, m = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(float(i)))
+        losses.append(float(m["train_loss"]))
+    assert np.mean(losses[-10:]) < 0.88 * np.mean(losses[:10]), (
+        np.mean(losses[:10]), np.mean(losses[-10:]),
+    )

@@ -34,15 +34,6 @@ CIFAR_TOPOLOGY = dict(
     ),
 )
 
-TINY_TOPOLOGY = dict(
-    encoder_block_types=("Enc", "EncD", "EncA"),
-    decoder_block_types=("DecA", "Dec", "DecU", "Dec", "Dec"),
-    encoder_out_channels=(16, 32, 32),
-    decoder_out_channels=(32, 32, 32, 16, 16),
-    skip_connections=(False, True, True, False, True, True),
-)
-
-
 def tiny_topology_valid():
     # TINY skip mask must consume len(enc)+1 = 4 skips
     return dict(

@@ -138,7 +138,9 @@ class ScaleLong(nn.Module):
         ones = jnp.ones_like(x[..., :1])
         x = jnp.concatenate([x, ones], axis=-1)
         pooled = x.mean(axis=(1, 2), keepdims=True)  # (B,1,1,C+1)
-        h = WNConv(int(c // self.r), 1, dtype=self.dtype)(pooled)
+        # max(1, .) guards tiny test channel counts; real configs (>=192 ch)
+        # match the reference's int(dim // r) exactly
+        h = WNConv(max(1, c // self.r), 1, dtype=self.dtype)(pooled)
         h = mp_silu(h)
         h = WNConv(c, 1, dtype=self.dtype)(h)
         return jax.nn.sigmoid(h)
