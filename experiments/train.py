@@ -1,0 +1,85 @@
+"""Training CLI — `python experiments/train.py --config-name=cifar10`.
+
+Same surface as the reference Hydra entry (experiments/train.py:8-36):
+--config-name selects a YAML under experiments/conf/, trailing key=value
+arguments are dotted overrides, --resume continues from the latest
+checkpoint in out_dir (the ckpt_path resume of train.py:30-36).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tinyedm_tpu.config.registry import apply_overrides, deinstantiate, instantiate, load_config  # noqa: E402
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Train an EDM diffusion model on TPU")
+    parser.add_argument("--config-name", required=True, help="conf/<name>.yaml")
+    parser.add_argument("--config-path", default=str(Path(__file__).parent / "conf"))
+    parser.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
+    parser.add_argument("--max-epochs", type=int, default=None)
+    parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(Path(args.config_path) / f"{args.config_name}.yaml")
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides)
+    if args.max_epochs is not None:
+        cfg["trainer"]["max_epochs"] = args.max_epochs
+
+    import jax
+
+    from tinyedm_tpu.training.trainer import Trainer
+    from tinyedm_tpu.utils.logging import MetricLogger
+
+    seed = cfg.get("seed", 42)
+    tcfg = cfg.get("trainer", {})
+    spec = instantiate(
+        cfg["model"], accum_steps=tcfg.get("accumulate_grad_batches", 1)
+    )
+    datamodule = instantiate(cfg["datamodule"])
+    if hasattr(datamodule, "seed"):
+        datamodule.seed = seed
+
+    callbacks = []
+    ckpt_cfg = {}
+    for name, cb_cfg in (cfg.get("callbacks") or {}).items():
+        if name == "checkpoint_callback":
+            ckpt_cfg = cb_cfg or {}
+        elif cb_cfg and "_target_" in cb_cfg:
+            callbacks.append(instantiate(cb_cfg))
+
+    wandb_cfg = cfg.get("wandb_logger") or {}
+    out_dir = tcfg.get("out_dir", f"runs/{args.config_name}")
+    logger = MetricLogger(
+        out_dir,
+        use_wandb=bool(wandb_cfg.get("enabled", False)),
+        wandb_kwargs={k: v for k, v in wandb_cfg.items() if k != "enabled"},
+    )
+
+    trainer = Trainer(
+        spec=spec,
+        datamodule=datamodule,
+        max_epochs=tcfg.get("max_epochs", 1),
+        check_val_every_n_epoch=tcfg.get("check_val_every_n_epoch", 10),
+        callbacks=callbacks,
+        logger=logger,
+        out_dir=out_dir,
+        ckpt_every_n_epochs=ckpt_cfg.get("every_n_epochs", 100),
+        ckpt_top_k=ckpt_cfg.get("save_top_k", 3),
+        ckpt_save_last=ckpt_cfg.get("save_last", True),
+        log_every_n_steps=tcfg.get("log_every_n_steps", 50),
+        seed=seed,
+        config={"model": deinstantiate(spec), "seed": seed},
+    )
+    print(f"devices: {jax.devices()}")
+    trainer.fit(resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

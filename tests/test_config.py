@@ -1,0 +1,106 @@
+"""Config system tests: YAML loading, interpolation, instantiate <->
+deinstantiate round-trip (reference parity: tests/test_deinstantiate.py uses
+the real shipped cifar10 config as the fixture)."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyedm_tpu.config.registry import (
+    apply_overrides,
+    deinstantiate,
+    instantiate,
+    load_config,
+)
+from tinyedm_tpu.training.experiment import EDMSpec
+
+CONF = Path(__file__).resolve().parents[1] / "experiments" / "conf"
+
+
+def test_load_config_interpolation():
+    cfg = load_config(CONF / "cifar10.yaml")
+    # ${model.embedding.embedding_dim} resolved
+    assert cfg["model"]["denoiser"]["embedding_dim"] == 256
+    assert cfg["model"]["_target_"] == "tinyedm_tpu.training.experiment.EDMSpec"
+
+
+def test_overrides():
+    cfg = load_config(CONF / "cifar10.yaml")
+    cfg = apply_overrides(cfg, ["model.lr=0.5", "trainer.max_epochs=7"])
+    assert cfg["model"]["lr"] == 0.5
+    assert cfg["trainer"]["max_epochs"] == 7
+
+
+@pytest.mark.parametrize("name", ["mnist", "cifar10", "imagenet"])
+def test_instantiate_all_shipped_configs(name):
+    cfg = load_config(CONF / f"{name}.yaml")
+    spec = instantiate(cfg["model"])
+    assert isinstance(spec, EDMSpec)
+    model = spec.build_model()
+    assert model.sigma_data == 0.5
+    assert spec.build_optimizer_config().lr == cfg["model"]["lr"]
+    if cfg["model"]["use_ema"]:
+        assert spec.build_ema_config() is not None
+
+
+def test_deinstantiate_roundtrip():
+    """instantiate(cfg) -> deinstantiate -> instantiate yields an equivalent
+    model: identical param tree structure and shapes (the reference asserts
+    load_state_dict(strict=True) compatibility)."""
+    cfg = load_config(CONF / "cifar10.yaml")
+    spec = instantiate(cfg["model"])
+    cfg2 = deinstantiate(spec)
+    spec2 = instantiate(cfg2)
+    m1, m2 = spec.build_model(), spec2.build_model()
+
+    x = jnp.zeros((1, 32, 32, 3))
+    sigma = jnp.ones((1,))
+    v1 = jax.eval_shape(
+        lambda: m1.init({"params": jax.random.PRNGKey(0)}, x, sigma, None)
+    )
+    v2 = jax.eval_shape(
+        lambda: m2.init({"params": jax.random.PRNGKey(0)}, x, sigma, None)
+    )
+    t1 = jax.tree_util.tree_structure(v1)
+    t2 = jax.tree_util.tree_structure(v2)
+    assert t1 == t2
+    s1 = [l.shape for l in jax.tree_util.tree_leaves(v1)]
+    s2 = [l.shape for l in jax.tree_util.tree_leaves(v2)]
+    assert s1 == s2
+
+
+def test_deinstantiate_dtype_serialization():
+    cfg = load_config(CONF / "cifar10.yaml")
+    spec = instantiate(cfg["model"])
+    out = deinstantiate(spec)
+    assert out["denoiser"]["dtype"] == "bfloat16"
+    # YAML-serializable (no jnp types anywhere)
+    import yaml
+
+    yaml.safe_dump(out)
+
+
+def test_reference_target_aliases():
+    """tinyedm.* targets from unmodified reference YAML resolve here."""
+    cfg = {
+        "_target_": "tinyedm.Diffuser",
+        "P_mean": -1.2,
+        "P_std": 1.2,
+    }
+    d = instantiate(cfg)
+    from tinyedm_tpu.diffusion.diffuser import Diffuser
+
+    assert isinstance(d, Diffuser)
+    assert d.P_mean == -1.2
+
+
+def test_spec_validation():
+    cfg = load_config(CONF / "cifar10.yaml")
+    bad = dict(cfg["model"])
+    bad["use_ema"] = True
+    bad["ema_length"] = None
+    with pytest.raises(ValueError, match="ema_length"):
+        instantiate(bad)

@@ -1,0 +1,131 @@
+"""End-to-end smoke (SURVEY.md §4 plan item e): train a tiny model a few
+steps on synthetic data, checkpoint, resume, and generate PNGs — the whole
+L7->L1 stack on the virtual CPU mesh."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyedm_tpu.config.registry import deinstantiate, instantiate
+from tinyedm_tpu.data.datamodules import SyntheticDataModule
+from tinyedm_tpu.diffusion.diffuser import Diffuser
+from tinyedm_tpu.diffusion.solver import DeterministicSolver
+from tinyedm_tpu.models.layers import Embedding
+from tinyedm_tpu.models.unet import Denoiser
+from tinyedm_tpu.training.callbacks import GenerateCallback
+from tinyedm_tpu.training.experiment import EDMSpec
+from tinyedm_tpu.training.trainer import Trainer
+from tinyedm_tpu.utils.logging import MetricLogger
+
+
+def tiny_spec(use_ema=True):
+    return EDMSpec(
+        diffuser=Diffuser(P_mean=-1.2, P_std=1.2),
+        embedding=Embedding(fourier_dim=8, embedding_dim=16, num_classes=10),
+        denoiser=Denoiser(
+            in_channels=1,
+            out_channels=1,
+            embedding_dim=16,
+            num_heads=2,
+            sigma_data=0.5,
+            encoder_block_types=("Enc", "EncD"),
+            decoder_block_types=("Dec", "DecU", "Dec", "Dec"),
+            encoder_out_channels=(8, 16),
+            decoder_out_channels=(16, 8, 8, 8),
+            skip_connections=(True, False, True, True),
+            dtype=jnp.bfloat16,
+        ),
+        use_ema=use_ema,
+        ema_length=0.13,
+        lr=1e-3,
+        rampup_steps=2,
+        steady_steps=4,
+        scheduler_interval="epoch",
+    )
+
+
+def make_trainer(tmp_path, spec, max_epochs=2, callbacks=()):
+    dm = SyntheticDataModule(
+        batch_size=16, image_size=8, num_channels=1, num_samples=64
+    )
+    return Trainer(
+        spec=spec,
+        datamodule=dm,
+        max_epochs=max_epochs,
+        check_val_every_n_epoch=1,
+        callbacks=list(callbacks),
+        out_dir=tmp_path / "run",
+        ckpt_every_n_epochs=1,
+        log_every_n_steps=2,
+        seed=0,
+        config={"model": deinstantiate(spec), "seed": 0},
+    )
+
+
+def test_fit_checkpoint_resume_generate(tmp_path):
+    spec = tiny_spec()
+    solver = DeterministicSolver(num_steps=4)
+    gen_cb = GenerateCallback(
+        solver, img_shape=(1, 8, 8), num_samples=4, every_n_epochs=1
+    )
+    trainer = make_trainer(tmp_path, spec, max_epochs=2, callbacks=[gen_cb])
+    trainer.fit()
+    assert trainer.global_step == 2 * 4  # 64/16 = 4 steps/epoch
+    # metrics were logged
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+    # preview images were written
+    images = list((tmp_path / "run" / "images").glob("*.png"))
+    assert images, "GenerateCallback wrote no images"
+    # checkpoints exist
+    assert trainer.ckpt.latest_step is not None
+
+    # ---- resume: continues from saved step
+    trainer2 = make_trainer(tmp_path, tiny_spec(), max_epochs=3)
+    trainer2.fit(resume=True)
+    assert trainer2.global_step == 3 * 4
+
+    # the resumed state carried EMA trees
+    assert len(trainer2.state.ema) == 1
+
+
+def test_generate_cli_roundtrip(tmp_path):
+    """Full generate path: checkpoint -> load (EMA or not) -> scanned Heun
+    solve -> PNG files (reference generate.py flow, SURVEY.md §3.2)."""
+    spec = tiny_spec()
+    trainer = make_trainer(tmp_path, spec, max_epochs=1)
+    trainer.fit()
+    trainer.ckpt.wait()
+
+    from tinyedm_tpu.generate import generate
+
+    out_dir = tmp_path / "samples"
+    generate(
+        ckpt_path=str(tmp_path / "run" / "checkpoints"),
+        load_ema=True,
+        output_dir=str(out_dir),
+        num_samples=6,
+        image_size=8,
+        num_classes=10,
+        batch_size=4,
+        num_steps=3,
+        num_channels=1,
+        mean=(0.5,),
+        std=(0.25,),
+    )
+    pngs = sorted(out_dir.glob("*.png"))
+    assert len(pngs) == 6
+    assert {p.stem for p in pngs} == {str(i) for i in range(6)}
+    from PIL import Image
+
+    img = Image.open(pngs[0])
+    assert img.size == (8, 8)
+
+
+def test_validation_and_best_checkpoint(tmp_path):
+    spec = tiny_spec(use_ema=False)
+    trainer = make_trainer(tmp_path, spec, max_epochs=2)
+    trainer.fit()
+    assert trainer.ckpt.best_step is not None

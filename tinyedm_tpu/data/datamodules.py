@@ -1,0 +1,344 @@
+"""Data modules: host-side numpy input pipelines feeding the TPU.
+
+Re-designed from the reference's torch DataModules
+(src/tinyedm/datamodules/): datasets load once into host memory as numpy
+(MNIST idx / CIFAR pickle parsed directly — no torch in the input path),
+per-epoch shuffling and horizontal-flip augmentation are vectorized numpy on
+the host, and batches stream to device NHWC fp32 already normalized to
+"std 0.5" ((x/255 - 0.5) / 0.5), matching the torchvision transform chains
+(mnistdatamodule.py:18-28, cifar10datamodule.py:18-29).
+
+Layout note: the reference is NCHW; this framework is NHWC end-to-end
+(channels on the TPU lane axis), including ``img_shape`` conversions.
+"""
+
+from __future__ import annotations
+
+import gzip
+import pickle
+import struct
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class AbstractDataModule:
+    """Base: in-memory numpy datasets + batch iterators
+    (reference: abstract_datamodule.py:6-67)."""
+
+    def __init__(self, batch_size: int, num_workers: int = 0, seed: int = 0):
+        self.batch_size = batch_size
+        self.num_workers = num_workers  # accepted for config parity; host
+        # pipelines here are vectorized numpy, no worker processes needed
+        self.seed = seed
+        self.train_images: Optional[np.ndarray] = None  # NHWC uint8 or f32
+        self.train_labels: Optional[np.ndarray] = None
+        self.val_images: Optional[np.ndarray] = None
+        self.val_labels: Optional[np.ndarray] = None
+
+    # -- to be provided by subclasses -------------------------------------
+    def prepare_data(self) -> None: ...
+
+    def setup(self, stage: str = "fit") -> None: ...
+
+    def denormalize(self, x: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def num_classes(self) -> Optional[int]:
+        if self.train_labels is None:
+            return None
+        return int(self.train_labels.max()) + 1
+
+    # -- iteration ---------------------------------------------------------
+    def _augment(self, images: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        return images
+
+    def _normalize(self, images: np.ndarray) -> np.ndarray:
+        x = images.astype(np.float32) / 255.0
+        return (x - 0.5) / 0.5
+
+    def steps_per_epoch(self, drop_last: bool = True) -> int:
+        n = len(self.train_images)
+        return n // self.batch_size if drop_last else -(-n // self.batch_size)
+
+    def train_batches(
+        self, epoch: int, drop_last: bool = True
+    ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Shuffled, augmented, normalized train batches for one epoch."""
+        assert self.train_images is not None, "call setup() first"
+        rng = np.random.default_rng((self.seed, epoch))
+        n = len(self.train_images)
+        order = rng.permutation(n)
+        stop = n - n % self.batch_size if drop_last else n
+        for start in range(0, stop, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            images = self._augment(self.train_images[idx], rng)
+            yield self._normalize(images), self.train_labels[idx].astype(np.int32)
+
+    def val_batches(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        assert self.val_images is not None, "call setup() first"
+        n = len(self.val_images)
+        stop = n - n % self.batch_size  # equal-size batches keep jit cache warm
+        for start in range(0, max(stop, 0), self.batch_size):
+            sl = slice(start, start + self.batch_size)
+            yield self._normalize(self.val_images[sl]), self.val_labels[sl].astype(
+                np.int32
+            )
+
+
+def _load_idx(path: Path) -> np.ndarray:
+    """Parse an (optionally gzipped) IDX file (MNIST format)."""
+    opener = gzip.open if path.suffix == ".gz" else open
+    with opener(path, "rb") as f:
+        _, dtype_code, ndim = struct.unpack(">HBB", f.read(4))
+        shape = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        assert dtype_code == 0x08, "only uint8 IDX supported"
+        return np.frombuffer(f.read(), dtype=np.uint8).reshape(shape)
+
+
+def _resize_batch(images: np.ndarray, size: int) -> np.ndarray:
+    """Antialiased resize on host via PIL (matches torchvision v2.Resize
+    antialias=True closely; identity when already the right size)."""
+    if images.shape[1] == size and images.shape[2] == size:
+        return images
+    from PIL import Image
+
+    squeeze = images.shape[-1] == 1
+    out = np.empty((len(images), size, size, images.shape[-1]), dtype=images.dtype)
+    for i, img in enumerate(images):
+        pil = Image.fromarray(img.squeeze(-1) if squeeze else img)
+        arr = np.asarray(pil.resize((size, size), Image.Resampling.BILINEAR))
+        out[i] = arr[..., None] if squeeze else arr
+    return out
+
+
+class MNISTDataModule(AbstractDataModule):
+    """MNIST from raw IDX files (reference: mnistdatamodule.py). Looks under
+    ``data_dir`` and ``data_dir/MNIST/raw`` (torchvision layout); downloads
+    are the user's responsibility (this environment has no egress)."""
+
+    FILES = {
+        "train_images": "train-images-idx3-ubyte",
+        "train_labels": "train-labels-idx1-ubyte",
+        "val_images": "t10k-images-idx3-ubyte",
+        "val_labels": "t10k-labels-idx1-ubyte",
+    }
+
+    def __init__(
+        self,
+        batch_size: int,
+        num_workers: int = 0,
+        image_size: int = 28,
+        data_dir: str = "datasets/mnist",
+        seed: int = 0,
+    ):
+        super().__init__(batch_size, num_workers, seed)
+        self.image_size = image_size
+        self.data_dir = Path(data_dir)
+
+    def _find(self, name: str) -> Path:
+        for base in (self.data_dir, self.data_dir / "MNIST" / "raw"):
+            for suffix in ("", ".gz"):
+                p = base / (name + suffix)
+                if p.exists():
+                    return p
+        raise FileNotFoundError(
+            f"MNIST file {name} not found under {self.data_dir} "
+            "(place raw idx files there; no network egress available)"
+        )
+
+    def setup(self, stage: str = "fit") -> None:
+        tri = _load_idx(self._find(self.FILES["train_images"]))[..., None]
+        self.train_images = _resize_batch(tri, self.image_size)
+        self.train_labels = _load_idx(self._find(self.FILES["train_labels"]))
+        vi = _load_idx(self._find(self.FILES["val_images"]))[..., None]
+        self.val_images = _resize_batch(vi, self.image_size)
+        self.val_labels = _load_idx(self._find(self.FILES["val_labels"]))
+
+    def denormalize(self, x: np.ndarray) -> np.ndarray:
+        # reference: (x*127.5 + 128).clip(0,255).uint8 (mnistdatamodule.py:47-48)
+        return (np.asarray(x) * 127.5 + 128).clip(0, 255).astype(np.uint8)
+
+
+class CIFAR10DataModule(AbstractDataModule):
+    """CIFAR-10 from the python pickle batches (reference:
+    cifar10datamodule.py). Train-time horizontal flips; val = test split."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        num_workers: int = 0,
+        image_size: int = 32,
+        data_dir: str = "datasets/cifar10",
+        seed: int = 0,
+    ):
+        super().__init__(batch_size, num_workers, seed)
+        self.image_size = image_size
+        self.data_dir = Path(data_dir)
+        self.classes = (
+            "airplane", "automobile", "bird", "cat", "deer",
+            "dog", "frog", "horse", "ship", "truck",
+        )
+
+    def _batches_dir(self) -> Path:
+        for base in (self.data_dir / "cifar-10-batches-py", self.data_dir):
+            if (base / "data_batch_1").exists():
+                return base
+        raise FileNotFoundError(
+            f"CIFAR-10 batches not found under {self.data_dir} "
+            "(expects cifar-10-batches-py/; no network egress available)"
+        )
+
+    @staticmethod
+    def _load_batch(path: Path) -> tuple[np.ndarray, np.ndarray]:
+        with open(path, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        images = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # NHWC
+        return images, np.asarray(d[b"labels"], np.int64)
+
+    def setup(self, stage: str = "fit") -> None:
+        base = self._batches_dir()
+        imgs, labels = [], []
+        for i in range(1, 6):
+            im, lb = self._load_batch(base / f"data_batch_{i}")
+            imgs.append(im)
+            labels.append(lb)
+        self.train_images = _resize_batch(np.concatenate(imgs), self.image_size)
+        self.train_labels = np.concatenate(labels)
+        vi, vl = self._load_batch(base / "test_batch")
+        self.val_images = _resize_batch(vi, self.image_size)
+        self.val_labels = vl
+
+    def _augment(self, images: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        flip = rng.random(len(images)) < 0.5
+        out = images.copy()
+        out[flip] = out[flip, :, ::-1]
+        return out
+
+    def denormalize(self, x: np.ndarray) -> np.ndarray:
+        return (np.asarray(x) * 127.5 + 128).clip(0, 255).astype(np.uint8)
+
+
+class ImageNetLatentsDataModule(AbstractDataModule):
+    """Pre-extracted VAE latents: per-sample ``{idx}.npy`` under ``latents/``
+    and ``labels/`` (reference: imagenet_latents_datamodule.py). Latents are
+    already normalized by extract_latents; stored CHW, served NHWC.
+
+    All latent files are packed into one contiguous array at setup (fast
+    sequential IO beats 1.2M-file random reads; fits in host RAM at
+    4*64*64 fp32 ~ 65KB/sample)."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        num_workers: int = 0,
+        image_size: int = 64,
+        data_dir: str = "datasets/imagenet/latents",
+        val_fraction: float = 0.01,
+        seed: int = 0,
+    ):
+        super().__init__(batch_size, num_workers, seed)
+        self.image_size = image_size
+        self.data_dir = Path(data_dir)
+        self.val_fraction = val_fraction
+        self._num_classes = 1000  # reference hardcodes 1000 (:48-50)
+
+    @property
+    def num_classes(self) -> int:
+        return self._num_classes
+
+    def setup(self, stage: str = "fit") -> None:
+        lat_dir = self.data_dir / "latents"
+        lab_dir = self.data_dir / "labels"
+        files = sorted(lat_dir.glob("*.npy"), key=lambda p: int(p.stem))
+        if not files:
+            raise FileNotFoundError(f"no latents under {lat_dir}")
+        lats, labs = [], []
+        for p in files:
+            lat = np.load(p)
+            if lat.ndim == 3 and lat.shape[0] in (3, 4):  # CHW -> HWC
+                lat = lat.transpose(1, 2, 0)
+            lats.append(lat.astype(np.float32))
+            labs.append(int(np.load(lab_dir / p.name)))
+        images = np.stack(lats)
+        labels = np.asarray(labs, np.int64)
+        n_val = max(1, int(len(images) * self.val_fraction))
+        self.train_images, self.train_labels = images[:-n_val], labels[:-n_val]
+        self.val_images, self.val_labels = images[-n_val:], labels[-n_val:]
+
+    def _normalize(self, images: np.ndarray) -> np.ndarray:
+        return images.astype(np.float32)  # already normalized at extraction
+
+    def _augment(self, images: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        return images
+
+    def denormalize(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(x)
+
+
+class RandomNoiseDataModule:
+    """Synthetic standard-normal feed for generation
+    (reference: random_datamodule.py:6-45)."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        num_workers: int = 0,
+        image_size: int = 32,
+        num_samples: int = 50000,
+        num_classes: Optional[int] = None,
+        num_channels: int = 3,
+        seed: int = 0,
+    ):
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.num_samples = num_samples
+        self.num_classes = None if num_classes in (None, -1, 0) else num_classes
+        self.num_channels = num_channels
+        self.seed = seed
+
+    def predict_batches(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yields (noise, labels, global_indices)."""
+        rng = np.random.default_rng(self.seed)
+        for start in range(0, self.num_samples, self.batch_size):
+            n = min(self.batch_size, self.num_samples - start)
+            noise = rng.standard_normal(
+                (n, self.image_size, self.image_size, self.num_channels),
+                dtype=np.float32,
+            )
+            if self.num_classes:
+                labels = rng.integers(0, self.num_classes, size=(n,), dtype=np.int32)
+            else:
+                labels = np.zeros((n,), np.int32)
+            yield noise, labels, np.arange(start, start + n)
+
+
+class SyntheticDataModule(AbstractDataModule):
+    """Random "images" for benchmarks and tests — no dataset required;
+    throughput does not depend on pixel content."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        image_size: int = 32,
+        num_channels: int = 3,
+        num_samples: int = 4096,
+        num_classes_: int = 10,
+        seed: int = 0,
+    ):
+        super().__init__(batch_size, 0, seed)
+        rng = np.random.default_rng(seed)
+        shape = (num_samples, image_size, image_size, num_channels)
+        self.train_images = rng.integers(0, 256, size=shape, dtype=np.uint8).astype(
+            np.uint8
+        )
+        self.train_labels = rng.integers(0, num_classes_, size=(num_samples,))
+        self.val_images = self.train_images[: max(batch_size, 64)]
+        self.val_labels = self.train_labels[: max(batch_size, 64)]
+
+    def setup(self, stage: str = "fit") -> None: ...
+
+    def denormalize(self, x: np.ndarray) -> np.ndarray:
+        return (np.asarray(x) * 127.5 + 128).clip(0, 255).astype(np.uint8)

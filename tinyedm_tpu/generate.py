@@ -1,0 +1,127 @@
+"""Generation CLI — PNG sample dumps from a checkpoint.
+
+Same flag surface as the reference (src/tinyedm/generate.py:50-90):
+--ckpt_path --load_ema --output_dir --num_samples --image_size --num_classes
+--batch_size --num_steps. The whole 2*num_steps-1-forward Heun solve runs as
+one jitted lax.scan per batch on device; PNG writing overlaps on host.
+
+Improvement over the reference: --load_ema is unambiguous (the reference
+loads the checkpoint twice and the second load can clobber the EMA swap,
+SURVEY.md §2.1 quirk), and the denormalization stats come from flags instead
+of being hardcoded to CIFAR-10 (generate.py:31-34 "need to do better").
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinyedm_tpu.data.datamodules import RandomNoiseDataModule
+from tinyedm_tpu.diffusion.solver import DeterministicSolver
+from tinyedm_tpu.training.callbacks import PreditionWriter
+from tinyedm_tpu.training.checkpoint import load_edm_from_checkpoint
+
+# reference default stats (generate.py:31-34) — CIFAR-10; override via flags
+CIFAR10_MEAN = (0.49139968, 0.48215841, 0.44653091)
+CIFAR10_STD = (0.24703223, 0.24348513, 0.26158784)
+
+
+def generate(
+    ckpt_path: str,
+    load_ema: bool,
+    output_dir: str,
+    num_samples: int,
+    image_size: int,
+    num_classes: int | None,
+    batch_size: int,
+    num_workers: int = 16,
+    num_steps: int = 32,
+    num_channels: int = 3,
+    mean=CIFAR10_MEAN,
+    std=CIFAR10_STD,
+    solver_dtype: str | None = None,
+    seed: int = 0,
+) -> None:
+    spec, model, variables, _ = load_edm_from_checkpoint(
+        ckpt_path, load_ema=load_ema
+    )
+    if load_ema:
+        print("EMA weights loaded.")
+    solver = DeterministicSolver(num_steps=num_steps, dtype=solver_dtype)
+    datamodule = RandomNoiseDataModule(
+        batch_size=batch_size,
+        num_workers=num_workers,
+        image_size=image_size,
+        num_samples=num_samples,
+        num_classes=num_classes,
+        num_channels=num_channels,
+        seed=seed,
+    )
+    writer = PreditionWriter(output_dir, "batch", mean=mean, std=std)
+    conditional = model.conditional
+
+    @jax.jit
+    def sample(x0, labels):
+        def denoise_fn(x, sigma, lab):
+            return model.apply(variables, x, sigma, lab)
+
+        return solver.solve(denoise_fn, x0, labels if conditional else None)
+
+    t0 = time.time()
+    done = 0
+    for noise, labels, indices in datamodule.predict_batches():
+        n = len(indices)
+        if n < batch_size:  # pad the tail batch: one compiled shape only
+            pad = batch_size - n
+            noise = np.concatenate([noise, noise[:1].repeat(pad, 0)])
+            labels = np.concatenate([labels, labels[:1].repeat(pad, 0)])
+        xT = sample(jnp.asarray(noise), jnp.asarray(labels))[:n]
+        writer.write_batch(np.asarray(xT), indices)
+        done += len(indices)
+        if done % (batch_size * 10) < batch_size:
+            rate = done / (time.time() - t0)
+            print(f"{done}/{num_samples} images ({rate:.1f} img/s)")
+    print(f"wrote {done} images to {output_dir} in {time.time()-t0:.1f}s")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Run the model generation")
+    parser.add_argument("--ckpt_path", type=str, required=True, help="Path to the checkpoint directory")
+    parser.add_argument("--load_ema", action="store_true", help="Load the exponential moving average of the weights")
+    parser.add_argument("--output_dir", type=str, required=True, help="Directory for output")
+    parser.add_argument("--num_samples", type=int, required=True, help="Number of samples to generate")
+    parser.add_argument("--image_size", type=int, required=True, help="Image size")
+    parser.add_argument("--num_classes", type=int, required=True, help="Number of classes (0 = unconditional)")
+    parser.add_argument("--batch_size", type=int, required=True, help="Batch size")
+    parser.add_argument("--num_workers", type=int, default=16, help="Number of workers (default: 16)")
+    parser.add_argument("--num_steps", type=int, default=32, help="Number of steps (default: 32)")
+    parser.add_argument("--num_channels", type=int, default=3)
+    parser.add_argument("--mean", type=float, nargs="+", default=list(CIFAR10_MEAN))
+    parser.add_argument("--std", type=float, nargs="+", default=list(CIFAR10_STD))
+    parser.add_argument("--solver_dtype", type=str, default=None, choices=[None, "float32", "bfloat16", "float64"])
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+    generate(
+        args.ckpt_path,
+        args.load_ema,
+        args.output_dir,
+        args.num_samples,
+        args.image_size,
+        args.num_classes if args.num_classes > 0 else None,
+        args.batch_size,
+        args.num_workers,
+        args.num_steps,
+        args.num_channels,
+        tuple(args.mean),
+        tuple(args.std),
+        args.solver_dtype,
+        args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

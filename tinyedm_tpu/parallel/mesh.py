@@ -1,0 +1,99 @@
+"""Device mesh + sharding layer.
+
+The reference's entire distributed story is Lightning DDP over NCCL implied
+by ``devices: -1, strategy: auto`` (conf/cifar10.yaml:4-8; SURVEY.md §2.4).
+The TPU-native equivalent: one mesh over ICI with a ``data`` axis (DP,
+first-class) and a ``model`` axis stub (size 1 by default) so tensor
+sharding is a config change, not a rewrite. The jitted train step runs under
+``jax.jit`` with NamedShardings: batch split on ``data``, state replicated —
+XLA emits the gradient all-reduce over ICI, which *is* DDP.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` (the
+DCN axis becomes the outer dimension of the device reshape automatically via
+jax.devices() ordering); per-host data feeding goes through
+``make_array_from_process_local_data``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[list] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over all (or the first N) devices."""
+    devs = devices if devices is not None else jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    n = len(devs)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dimension split over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch (pytree of arrays with leading batch dim) onto the
+    mesh, split along ``data``. Single-process: a plain device_put. Multi-host:
+    assembles the global array from per-process shards."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
+
+
+def replicate_state(mesh: Mesh, state: Any) -> Any:
+    """Fully replicate a train-state pytree over the mesh (DP for a 35.6M-param
+    model; FSDP-style sharding of opt/EMA state along ``data`` is a
+    PartitionSpec change here if memory ever demands it)."""
+    return jax.device_put(state, replicated(mesh))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingPlan:
+    """Shardings for the train step: state replicated, batch data-split,
+    scalars replicated. ``jit_train_step`` applies them + donates the state."""
+
+    mesh: Mesh
+
+    def jit_train_step(self, train_step):
+        rep = replicated(self.mesh)
+        data = batch_sharding(self.mesh)
+        return jax.jit(
+            train_step,
+            in_shardings=(rep, (data, data), rep, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+
+    def jit_eval_step(self, eval_step):
+        rep = replicated(self.mesh)
+        data = batch_sharding(self.mesh)
+        return jax.jit(
+            eval_step,
+            in_shardings=(rep, (data, data), rep),
+            out_shardings=rep,
+        )

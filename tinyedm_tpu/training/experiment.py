@@ -1,0 +1,86 @@
+"""EDMSpec: the reference-shaped experiment description.
+
+The reference's ``EDM`` LightningModule constructor takes the full training
+recipe (src/tinyedm/edm.py:100-118: diffuser, embedding, denoiser, use_ema,
+use_uncertainty, steady/rampup steps, lr, betas, ema_length, ...). In this
+framework the model is a pure flax module and training is a jitted step, so
+that constructor surface becomes a dataclass spec that the config system
+instantiates (aliased as target ``tinyedm.EDM``) and ``build()`` turns into
+the functional pieces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from tinyedm_tpu.diffusion.diffuser import Diffuser
+from tinyedm_tpu.models.edm import EDM
+from tinyedm_tpu.models.layers import Embedding
+from tinyedm_tpu.models.unet import Denoiser
+from tinyedm_tpu.training.ema import EMAConfig
+from tinyedm_tpu.training.train_step import OptimizerConfig
+
+
+@dataclasses.dataclass
+class EDMSpec:
+    diffuser: Diffuser
+    embedding: Embedding
+    denoiser: Denoiser
+    use_ema: bool = False
+    use_uncertainty: bool = False
+    steady_steps: int = 1
+    rampup_steps: int = 0
+    scheduler_interval: str = "epoch"
+    sigma_data: Optional[float] = None
+    lr: float = 1e-4
+    betas: tuple[float, float] = (0.9, 0.999)
+    ema_length: Optional[float] = None
+    # Multiple tracked EMA profiles enable post-hoc EMA reconstruction;
+    # defaults to (ema_length,) for reference parity.
+    ema_lengths: Optional[tuple[float, ...]] = None
+    validate_original_weights: bool = False
+    every_n_steps: int = 1
+    # cpu_offload is accepted for config parity but is a no-op: on TPU the EMA
+    # update runs inside the jitted step (SURVEY.md §2.2 row 4).
+    cpu_offload: bool = False
+    accum_steps: int = 1
+
+    def __post_init__(self) -> None:
+        if self.use_ema and self.ema_length is None and not self.ema_lengths:
+            raise ValueError("ema_length must be specified when use_ema is True.")
+        if self.sigma_data is not None and self.sigma_data != self.denoiser.sigma_data:
+            # keep one source of truth, like the reference's
+            # `sigma_data or denoiser.sigma_data` (edm.py:147)
+            object.__setattr__(
+                self, "denoiser", self.denoiser.clone(sigma_data=self.sigma_data)
+            )
+
+    @property
+    def conditional(self) -> bool:
+        return self.embedding.num_classes is not None
+
+    def build_model(self) -> EDM:
+        return EDM(
+            embedding=self.embedding,
+            denoiser=self.denoiser,
+            use_uncertainty=self.use_uncertainty,
+        )
+
+    def build_optimizer_config(self) -> OptimizerConfig:
+        return OptimizerConfig(
+            lr=self.lr,
+            betas=tuple(self.betas),
+            rampup_steps=self.rampup_steps,
+            steady_steps=self.steady_steps,
+            scheduler_interval=self.scheduler_interval,
+            accum_steps=self.accum_steps,
+        )
+
+    def build_ema_config(self) -> Optional[EMAConfig]:
+        if not self.use_ema:
+            return None
+        sigma_rels = self.ema_lengths or (self.ema_length,)
+        return EMAConfig(
+            sigma_rels=tuple(sigma_rels), every_n_steps=self.every_n_steps
+        )

@@ -55,31 +55,43 @@ def init_train_state(
     sample_labels: Optional[jnp.ndarray] = None,
 ) -> TrainState:
     """Initialize params/constants (then force-normalize weights exactly as the
-    reference does on the first training forward), Adam moments and EMA trees."""
-    sigma = jnp.ones((sample_batch.shape[0],), jnp.float32)
-    # init through denoise_with_aux so the uncertainty head's params (if any)
-    # are created too
-    variables = model.init(
-        {"params": rng},
-        sample_batch,
-        sigma,
-        sample_labels,
-        train=False,
-        method=model.denoise_with_aux,
-    )
-    params = force_weight_norm(variables["params"])
-    constants = variables.get("constants", {})
+    reference does on the first training forward), Adam moments and EMA trees.
+
+    The whole init runs under one jit — eager init would dispatch thousands of
+    tiny ops (slow over any device transport; pathological over a TPU tunnel).
+    """
     tx = make_adam(opt_cfg.betas, opt_cfg.eps)
-    opt_state = tx.init(params)
     n_ema = len(ema_cfg.sigma_rels) if ema_cfg is not None else 0
-    ema = tuple(jax.tree_util.tree_map(jnp.copy, params) for _ in range(n_ema))
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        constants=constants,
-        opt_state=opt_state,
-        ema=ema,
-    )
+
+    def _init(rng, sample_batch, sample_labels):
+        sigma = jnp.ones((sample_batch.shape[0],), jnp.float32)
+        # init through denoise_with_aux so the uncertainty head's params
+        # (if any) are created too
+        variables = model.init(
+            {"params": rng},
+            sample_batch,
+            sigma,
+            sample_labels,
+            train=False,
+            method=model.denoise_with_aux,
+        )
+        params = force_weight_norm(variables["params"])
+        constants = variables.get("constants", {})
+        opt_state = tx.init(params)
+        ema = tuple(
+            jax.tree_util.tree_map(lambda x: x + 0.0, params) for _ in range(n_ema)
+        )
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            constants=constants,
+            opt_state=opt_state,
+            ema=ema,
+        )
+
+    if sample_labels is None:
+        return jax.jit(lambda r, b: _init(r, b, None))(rng, sample_batch)
+    return jax.jit(_init)(rng, sample_batch, sample_labels)
 
 
 def make_train_step(

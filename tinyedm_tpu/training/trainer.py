@@ -1,0 +1,231 @@
+"""The training driver: epochs, validation, checkpoints, previews.
+
+Replaces lightning.Trainer + the EDM LightningModule's orchestration hooks
+(experiments/train.py:26-36; SURVEY.md §3.1 call stack) with a compact loop
+around ONE jitted train step. Design points:
+
+  * The hot loop never synchronizes with the device except at the logging
+    cadence — metrics stay as device arrays until flushed.
+  * Batches are host numpy, sharded onto the mesh ``data`` axis
+    (shard_batch); XLA's gradient all-reduce over ICI is the DDP equivalent.
+  * Validation accumulates raw (sse, count) pairs — exact cross-batch and
+    cross-device averaging (torchmetrics dist_reduce_fx="sum" parity,
+    metric.py:34-36).
+  * EMA "swap for validation" (ema.py:83-106) is just evaluating the EMA
+    tree — no tensor swapping exists in a functional state.
+  * Checkpoints: top-k on val_loss + save-last via orbax
+    (conf/cifar10.yaml:59-67 parity), self-describing via the embedded config.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinyedm_tpu.parallel.mesh import ShardingPlan, make_mesh, replicate_state, shard_batch
+from tinyedm_tpu.training.callbacks import Callback
+from tinyedm_tpu.training.checkpoint import CheckpointManager
+from tinyedm_tpu.training.experiment import EDMSpec
+from tinyedm_tpu.training.state import TrainState
+from tinyedm_tpu.training.train_step import (
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from tinyedm_tpu.utils.logging import MetricLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        spec: EDMSpec,
+        datamodule,
+        max_epochs: int = 1,
+        check_val_every_n_epoch: int = 10,
+        callbacks: Sequence[Callback] = (),
+        logger: Optional[MetricLogger] = None,
+        out_dir: str | Path = "runs/default",
+        ckpt_every_n_epochs: int = 100,
+        ckpt_top_k: int = 3,
+        ckpt_save_last: bool = True,
+        log_every_n_steps: int = 50,
+        seed: int = 42,
+        mesh=None,
+        config: Optional[dict] = None,
+    ):
+        self.spec = spec
+        self.model = spec.build_model()
+        self.diffuser = spec.diffuser
+        self.opt_cfg = spec.build_optimizer_config()
+        self.ema_cfg = spec.build_ema_config()
+        self.use_ema = self.ema_cfg is not None
+        self.datamodule = datamodule
+        self.max_epochs = max_epochs
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.callbacks = list(callbacks)
+        self.out_dir = Path(out_dir)
+        self.logger = logger or MetricLogger(self.out_dir)
+        self.log_every_n_steps = log_every_n_steps
+        self.seed = seed
+        self.config = config  # self-describing checkpoint payload
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.plan = ShardingPlan(self.mesh)
+        self.ckpt = CheckpointManager(
+            self.out_dir / "checkpoints",
+            max_to_keep=ckpt_top_k,
+            monitor="val_loss",
+            save_last=ckpt_save_last,
+        )
+        self.ckpt_every_n_epochs = ckpt_every_n_epochs
+
+        self._train_step = self.plan.jit_train_step(
+            make_train_step(self.model, self.diffuser, self.opt_cfg, self.ema_cfg)
+        )
+        self._eval_step = self.plan.jit_eval_step(
+            make_eval_step(
+                self.model,
+                self.diffuser,
+                use_ema=self.use_ema and not spec.validate_original_weights,
+            )
+        )
+        self._solve_cache: dict = {}
+
+        self.state: Optional[TrainState] = None
+        self.epoch = 0
+        self.global_step = 0
+
+    # ------------------------------------------------------------------ setup
+    def _init_state(self) -> TrainState:
+        images, labels = next(self.datamodule.train_batches(epoch=0))
+        state = init_train_state(
+            jax.random.PRNGKey(self.seed),
+            self.model,
+            jnp.asarray(images),
+            self.opt_cfg,
+            self.ema_cfg,
+            sample_labels=jnp.asarray(labels) if self.model.conditional else None,
+        )
+        return replicate_state(self.mesh, state)
+
+    def restore(self, step: Optional[int] = None) -> None:
+        abstract = jax.eval_shape(self._init_state)
+        state, _ = self.ckpt.restore(step, abstract_state=abstract)
+        self.state = replicate_state(self.mesh, state)
+        self.global_step = int(state.step)
+
+    # -------------------------------------------------------------------- fit
+    def fit(self, resume: bool = False) -> None:
+        self.datamodule.prepare_data()
+        self.datamodule.setup("fit")
+        steps_per_epoch = self.datamodule.steps_per_epoch()
+        if resume and self.ckpt.latest_step is not None:
+            self.restore()
+            self.epoch = self.global_step // max(steps_per_epoch, 1)
+            self.logger.log_text(
+                "trainer", f"resumed at step {self.global_step} (epoch {self.epoch})"
+            )
+        if self.state is None:
+            self.state = self._init_state()
+
+        base_rng = jax.random.PRNGKey(self.seed)
+        for cb in self.callbacks:
+            cb.on_train_start(self)
+
+        while self.epoch < self.max_epochs:
+            t_epoch = time.time()
+            n_samples = 0
+            last_metrics = None
+            for images, labels in self.datamodule.train_batches(self.epoch):
+                batch = shard_batch(self.mesh, (images, labels))
+                sched_count = (
+                    self.epoch
+                    if self.opt_cfg.scheduler_interval == "epoch"
+                    else self.global_step
+                )
+                self.state, metrics = self._train_step(
+                    self.state, batch, base_rng, jnp.asarray(sched_count, jnp.float32)
+                )
+                self.global_step += 1
+                n_samples += len(images)
+                last_metrics = metrics
+                if self.global_step % self.log_every_n_steps == 0:
+                    self._flush_metrics(metrics)
+            dt = time.time() - t_epoch
+            if last_metrics is not None:
+                self.logger.log_metrics(
+                    {
+                        "epoch": self.epoch,
+                        "samples_per_sec": n_samples / dt,
+                        "train_loss": float(last_metrics["train_loss"]),
+                    },
+                    step=self.global_step,
+                )
+
+            val_loss = None
+            if (self.epoch + 1) % self.check_val_every_n_epoch == 0:
+                val_loss = self.validate()
+            for cb in self.callbacks:
+                cb.on_train_epoch_end(self)
+            if (self.epoch + 1) % self.ckpt_every_n_epochs == 0:
+                self.save_checkpoint(val_loss)
+            self.epoch += 1
+
+        self.save_checkpoint(None)
+        self.ckpt.wait()
+        for cb in self.callbacks:
+            cb.on_fit_end(self)
+
+    def _flush_metrics(self, metrics) -> None:
+        host = {k: float(v) for k, v in metrics.items() if k not in ("sse", "count")}
+        host["train_loss_running"] = float(metrics["sse"]) / max(
+            float(metrics["count"]), 1.0
+        )
+        self.logger.log_metrics(host, step=self.global_step)
+
+    # ------------------------------------------------------------- validation
+    def validate(self) -> float:
+        assert self.state is not None
+        sse, count = 0.0, 0.0
+        rng = jax.random.PRNGKey(self.seed + 777)
+        for i, (images, labels) in enumerate(self.datamodule.val_batches()):
+            batch = shard_batch(self.mesh, (images, labels))
+            out = self._eval_step(self.state, batch, jax.random.fold_in(rng, i))
+            sse += float(out["sse"])
+            count += float(out["count"])
+        val_loss = sse / max(count, 1.0)
+        self.logger.log_metrics({"val_loss": val_loss}, step=self.global_step)
+        for cb in self.callbacks:
+            cb.on_validation_end(self)
+        return val_loss
+
+    # ------------------------------------------------------------- generation
+    def solve(self, solver, x0, class_labels=None, use_ema: bool = False, ema_index: int = 0):
+        """Run the ODE sampler with current (or EMA) weights; jitted per
+        (solver config, conditional, use_ema) and cached."""
+        assert self.state is not None
+        key = (id(solver), class_labels is not None, use_ema, ema_index)
+        if key not in self._solve_cache:
+            model = self.model
+
+            def sample(params, constants, x0, labels):
+                def denoise_fn(x, sigma, lab):
+                    return model.apply(
+                        {"params": params, "constants": constants}, x, sigma, lab
+                    )
+
+                return solver.solve(denoise_fn, x0, labels)
+
+            self._solve_cache[key] = jax.jit(sample)
+        params = self.state.ema[ema_index] if (use_ema and self.state.ema) else self.state.params
+        return self._solve_cache[key](params, self.state.constants, x0, class_labels)
+
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, val_loss: Optional[float]) -> None:
+        assert self.state is not None
+        metrics = {"val_loss": val_loss} if val_loss is not None else None
+        self.ckpt.save(self.global_step, self.state, config=self.config, metrics=metrics)
