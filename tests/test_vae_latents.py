@@ -1,0 +1,232 @@
+"""VAE architecture + latent-extraction pipeline tests (random weights; the
+pretrained path needs local HF weights which this environment lacks)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tinyedm_tpu.data.vae import AutoencoderKL, JaxVAE, convert_torch_vae, random_vae
+
+
+@pytest.fixture(scope="module")
+def vae():
+    return random_vae(jax.random.PRNGKey(0), image_size=32)
+
+
+def test_encode_decode_shapes(vae):
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    z = vae.encode(x, jax.random.PRNGKey(2))
+    assert z.shape == (2, 4, 4, 4)  # 1/8 resolution, 4 channels
+    y = vae.decode(z)
+    assert y.shape == (2, 32, 32, 3)
+
+
+def test_encode_stochasticity_controlled_by_key(vae):
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    z1 = vae.encode(x, jax.random.PRNGKey(7))
+    z2 = vae.encode(x, jax.random.PRNGKey(7))
+    z3 = vae.encode(x, jax.random.PRNGKey(8))
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    assert not np.allclose(np.asarray(z1), np.asarray(z3))
+
+
+def _synthetic_diffusers_state_dict(base=32, mults=(1, 2), rng_seed=0):
+    """A random state dict with diffusers AutoencoderKL key naming/shapes
+    (diffusers itself is not installed in this environment)."""
+    rng = np.random.default_rng(rng_seed)
+    sd = {}
+
+    def conv(key, cin, cout, k=3):
+        sd[f"{key}.weight"] = rng.standard_normal((cout, cin, k, k)).astype(np.float32) * 0.05
+        sd[f"{key}.bias"] = rng.standard_normal((cout,)).astype(np.float32) * 0.05
+
+    def dense(key, cin, cout):
+        sd[f"{key}.weight"] = rng.standard_normal((cout, cin)).astype(np.float32) * 0.05
+        sd[f"{key}.bias"] = rng.standard_normal((cout,)).astype(np.float32) * 0.05
+
+    def norm(key, c):
+        sd[f"{key}.weight"] = rng.standard_normal((c,)).astype(np.float32)
+        sd[f"{key}.bias"] = rng.standard_normal((c,)).astype(np.float32)
+
+    def resnet(key, cin, cout):
+        norm(f"{key}.norm1", cin)
+        conv(f"{key}.conv1", cin, cout)
+        norm(f"{key}.norm2", cout)
+        conv(f"{key}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{key}.conv_shortcut", cin, cout, k=1)
+
+    def attn(key, c):
+        norm(f"{key}.group_norm", c)
+        for n in ("to_q", "to_k", "to_v", "to_out.0"):
+            dense(f"{key}.{n}", c, c)
+
+    # encoder
+    chans = [base * m for m in mults]
+    conv("encoder.conv_in", 3, chans[0])
+    cin = chans[0]
+    for i, c in enumerate(chans):
+        for j in range(2):
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}", cin if j == 0 else c, c)
+        cin = c
+        if i < len(chans) - 1:
+            conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", c, c)
+    top = chans[-1]
+    resnet("encoder.mid_block.resnets.0", top, top)
+    attn("encoder.mid_block.attentions.0", top)
+    resnet("encoder.mid_block.resnets.1", top, top)
+    norm("encoder.conv_norm_out", top)
+    conv("encoder.conv_out", top, 8)
+    # decoder
+    conv("decoder.conv_in", 4, top)
+    resnet("decoder.mid_block.resnets.0", top, top)
+    attn("decoder.mid_block.attentions.0", top)
+    resnet("decoder.mid_block.resnets.1", top, top)
+    rev = list(reversed(chans))
+    cin = top
+    for i, c in enumerate(rev):
+        for j in range(3):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", cin if j == 0 else c, c)
+        cin = c
+        if i < len(rev) - 1:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", c, c)
+    norm("decoder.conv_norm_out", rev[-1])
+    conv("decoder.conv_out", rev[-1], 3)
+    conv("quant_conv", 8, 8, k=1)
+    conv("post_quant_conv", 4, 4, k=1)
+    return sd
+
+
+def test_torch_conversion_structure():
+    """convert_torch_vae output must match the flax init param tree exactly
+    (names and shapes) for a tiny config, using a synthetic diffusers-style
+    state dict."""
+    sd = _synthetic_diffusers_state_dict(base=32, mults=(1, 2))
+    params = convert_torch_vae(sd, channel_mults=(1, 2))
+
+    module = AutoencoderKL(base_channels=32, channel_mults=(1, 2))
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = jax.jit(
+        lambda r: module.init({"params": r}, x, jax.random.PRNGKey(0))
+    )(jax.random.PRNGKey(0))
+    ref = variables["params"]
+
+    def flatten(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(flatten(v, key))
+            else:
+                out[key] = np.asarray(v).shape
+        return out
+
+    f_conv = flatten(jax.tree_util.tree_map(np.asarray, params))
+    f_ref = flatten(jax.tree_util.tree_map(np.asarray, ref))
+    assert set(f_conv) == set(f_ref), (
+        set(f_conv) ^ set(f_ref)
+    )
+    for k in f_ref:
+        assert f_conv[k] == f_ref[k], f"{k}: {f_conv[k]} vs {f_ref[k]}"
+
+
+def test_converted_resnet_block_matches_torch():
+    """Numerical parity of the conversion conventions (OIHW->HWIO transpose,
+    GroupNorm semantics, shortcut handling) against a hand-rolled torch
+    resnet block identical to diffusers' ResnetBlock2D."""
+    torch = pytest.importorskip("torch")
+
+    cin, cout = 32, 64
+    sd = {}
+    rng = np.random.default_rng(3)
+    sd["norm1.weight"] = rng.standard_normal((cin,)).astype(np.float32)
+    sd["norm1.bias"] = rng.standard_normal((cin,)).astype(np.float32)
+    sd["conv1.weight"] = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32) * 0.1
+    sd["conv1.bias"] = rng.standard_normal((cout,)).astype(np.float32) * 0.1
+    sd["norm2.weight"] = rng.standard_normal((cout,)).astype(np.float32)
+    sd["norm2.bias"] = rng.standard_normal((cout,)).astype(np.float32)
+    sd["conv2.weight"] = rng.standard_normal((cout, cout, 3, 3)).astype(np.float32) * 0.1
+    sd["conv2.bias"] = rng.standard_normal((cout,)).astype(np.float32) * 0.1
+    sd["conv_shortcut.weight"] = rng.standard_normal((cout, cin, 1, 1)).astype(np.float32) * 0.1
+    sd["conv_shortcut.bias"] = rng.standard_normal((cout,)).astype(np.float32) * 0.1
+
+    x = rng.standard_normal((2, 8, 8, cin)).astype(np.float32)
+
+    # torch reference (NCHW)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        h = torch.nn.functional.group_norm(
+            xt, 32, torch.from_numpy(sd["norm1.weight"]),
+            torch.from_numpy(sd["norm1.bias"]), eps=1e-6,
+        )
+        h = torch.nn.functional.silu(h)
+        h = torch.nn.functional.conv2d(
+            h, torch.from_numpy(sd["conv1.weight"]),
+            torch.from_numpy(sd["conv1.bias"]), padding=1,
+        )
+        h = torch.nn.functional.group_norm(
+            h, 32, torch.from_numpy(sd["norm2.weight"]),
+            torch.from_numpy(sd["norm2.bias"]), eps=1e-6,
+        )
+        h = torch.nn.functional.silu(h)
+        h = torch.nn.functional.conv2d(
+            h, torch.from_numpy(sd["conv2.weight"]),
+            torch.from_numpy(sd["conv2.bias"]), padding=1,
+        )
+        skip = torch.nn.functional.conv2d(
+            xt, torch.from_numpy(sd["conv_shortcut.weight"]),
+            torch.from_numpy(sd["conv_shortcut.bias"]),
+        )
+        ref = (skip + h).numpy().transpose(0, 2, 3, 1)
+
+    from tinyedm_tpu.data.vae import ResnetBlock
+
+    params = {
+        "norm1": {"scale": jnp.asarray(sd["norm1.weight"]), "bias": jnp.asarray(sd["norm1.bias"])},
+        "conv1": {"kernel": jnp.asarray(sd["conv1.weight"].transpose(2, 3, 1, 0)), "bias": jnp.asarray(sd["conv1.bias"])},
+        "norm2": {"scale": jnp.asarray(sd["norm2.weight"]), "bias": jnp.asarray(sd["norm2.bias"])},
+        "conv2": {"kernel": jnp.asarray(sd["conv2.weight"].transpose(2, 3, 1, 0)), "bias": jnp.asarray(sd["conv2.bias"])},
+        "conv_shortcut": {"kernel": jnp.asarray(sd["conv_shortcut.weight"].transpose(2, 3, 1, 0)), "bias": jnp.asarray(sd["conv_shortcut.bias"])},
+    }
+    out = ResnetBlock(cout).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=1e-4)
+
+
+def test_extract_latents_pipeline(tmp_path, vae):
+    """Full extract CLI flow on a synthetic ImageFolder with a random VAE."""
+    from PIL import Image
+
+    from tinyedm_tpu.data.extract_latents import extract
+
+    rng = np.random.default_rng(0)
+    for cls in ("cat", "dog"):
+        d = tmp_path / "data" / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    n = extract(
+        str(tmp_path / "data"),
+        str(tmp_path / "out"),
+        image_size=32,
+        batch_size=4,
+        vae=vae,
+        flip=True,
+    )
+    assert n == 12  # 6 images x 2 (flips)
+    lat = np.load(tmp_path / "out" / "latents" / "0.npy")
+    assert lat.shape == (4, 4, 4)  # HWC at 1/8 of 32
+    lab = np.load(tmp_path / "out" / "labels" / "0.npy")
+    assert lab in (0, 1)
+
+    # the produced layout feeds ImageNetLatentsDataModule
+    from tinyedm_tpu.data.datamodules import ImageNetLatentsDataModule
+
+    dm = ImageNetLatentsDataModule(batch_size=4, data_dir=str(tmp_path / "out"))
+    dm.setup()
+    images, labels = next(dm.train_batches(epoch=0))
+    assert images.shape == (4, 4, 4, 4)
+    assert labels.dtype == np.int32

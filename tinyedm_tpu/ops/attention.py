@@ -1,0 +1,134 @@
+"""Fused (flash-style) attention Pallas kernel for CosineAttention.
+
+The reference's attention is a single torch SDPA call over h*w spatial
+tokens (networks.py:201). On TPU, XLA already handles the small resolutions
+well; this kernel exists for the large-token regimes (64x64 = 4096 tokens in
+the ImageNet-512 stretch config) where materializing the (n, n) score matrix
+in HBM costs bandwidth. It blocks over query tokens, keeps K/V resident in
+VMEM, computes logits on the MXU with fp32 accumulation, softmaxes in fp32,
+and writes only the (n, hd) output — the score matrix never leaves VMEM.
+
+Forward runs the Pallas kernel; backward recomputes through the pure-XLA
+reference path (standard flash-attention trade: recompute beats storing the
+n^2 matrix). Numerics: inputs are already pixel-normed by the caller
+(cosine attention), scale = 1/sqrt(head_dim), no masking (dense bidirectional
+spatial attention).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Reference path: (b, n, h, d) -> (b, n, h, d)."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=q.dtype)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_actual: int):
+    """One (batch*head, q-block): softmax(q K^T * scale) V, all in VMEM.
+    Zero-padded K rows (token index >= n_actual) are masked to -inf."""
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (n, d)
+    v = v_ref[0]  # (n, d)
+    logits = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * jnp.float32(scale)
+    if k.shape[0] != n_actual:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < n_actual, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    w = (e / denom).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        w,
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=v.dtype,
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_fwd_impl(q, k, v, *, interpret: bool | None = None):
+    if interpret is None:
+        # Pallas TPU kernels need a TPU; fall back to the interpreter on CPU
+        # (tests) so numerics are exercised everywhere.
+        interpret = jax.default_backend() != "tpu"
+    b, n, h, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+
+    # (b, n, h, d) -> (b*h, n, d): heads become independent grid rows
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+
+    # pad token/lane dims to TPU tiles
+    d_pad = _round_up(d, 128)
+    n_pad = _round_up(n, 128)
+    if d_pad != d or n_pad != n:
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
+        qb, kb, vb = pad(qb), pad(kb), pad(vb)
+    block_q = min(512, n_pad)
+    grid = (b * h, n_pad // block_q)
+
+    kernel = functools.partial(_attn_kernel, scale=scale, n_actual=n)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(qb, kb, vb)
+
+    out = out[:, :n, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    return out
+
+
+@jax.custom_vjp
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Fused attention: q, k, v shaped (batch, tokens, heads, head_dim)."""
+    return _flash_fwd_impl(q, k, v)
+
+
+def _fwd(q, k, v):
+    return _flash_fwd_impl(q, k, v), (q, k, v)
+
+
+def _bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)
