@@ -60,32 +60,29 @@ def build():
 
 
 def bench_train(state, step, batch):
+    """Returns (step_time_s, state, flops_per_step). AOT-compile once; reuse
+    the executable for timing and its cost analysis for FLOPs."""
     key = jax.random.PRNGKey(1)
     sched = jnp.asarray(250.0)  # steady-phase LR
+    compiled = step.lower(state, batch, key, sched).compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
     for _ in range(WARMUP):
-        state, metrics = step(state, batch, key, sched)
+        state, metrics = compiled(state, batch, key, sched)
     float(metrics["train_loss"])  # host read: drain the dispatch pipeline
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        state, metrics = step(state, batch, key, sched)
+        state, metrics = compiled(state, batch, key, sched)
     # sync via host read of a step output (block_until_ready alone has been
     # observed to return early over the device tunnel)
     assert np.isfinite(float(metrics["train_loss"]))
     dt = (time.perf_counter() - t0) / ITERS
-    return dt, state
-
-
-def flops_per_step(step, state, batch):
-    try:
-        key = jax.random.PRNGKey(1)
-        sched = jnp.asarray(250.0)
-        compiled = jax.jit(lambda s, b: step(s, b, key, sched)).lower(state, batch)
-        cost = compiled.compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0
+    return dt, state, flops
 
 
 def bench_sampler(model, state):
@@ -119,11 +116,10 @@ def main() -> None:
         int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(state.params)
     )
 
-    dt, state = bench_train(state, step, batch)
+    dt, state, fl = bench_train(state, step, batch)
     samples_per_sec = BATCH / dt
     samples_per_sec_per_chip = samples_per_sec / n_chips
 
-    fl = flops_per_step(step, state, batch)
     a100_samples_per_sec = (
         (A100_BF16_FLOPS * ASSUMED_A100_MFU) / (fl / BATCH) if fl else 0.0
     )

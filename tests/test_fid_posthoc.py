@@ -1,0 +1,105 @@
+"""FID math tests + post-hoc EMA end-to-end reconstruction test."""
+
+import numpy as np
+import pytest
+
+from tinyedm_tpu.utils.fid import (
+    compute_stats,
+    fid_between_dirs,
+    frechet_distance,
+    load_stats,
+    png_dir_batches,
+    save_stats,
+)
+
+
+class TestFID:
+    def test_identical_distributions_zero(self):
+        rng = np.random.default_rng(0)
+        f = rng.standard_normal((500, 16))
+        mu, s = compute_stats(f)
+        assert frechet_distance(mu, s, mu, s) == pytest.approx(0.0, abs=1e-8)
+
+    def test_mean_shift_closed_form(self):
+        # same covariance, means differ by d: FID = |d|^2
+        rng = np.random.default_rng(1)
+        f1 = rng.standard_normal((20000, 8))
+        f2 = f1 + np.asarray([2.0] + [0.0] * 7)
+        mu1, s1 = compute_stats(f1)
+        mu2, s2 = compute_stats(f2)
+        assert frechet_distance(mu1, s1, mu2, s2) == pytest.approx(4.0, rel=1e-3)
+
+    def test_scale_closed_form(self):
+        # 1-D gaussians N(0, a^2), N(0, b^2): FID = (a-b)^2
+        rng = np.random.default_rng(2)
+        f1 = rng.standard_normal((200000, 1)) * 1.0
+        f2 = rng.standard_normal((200000, 1)) * 3.0
+        mu1, s1 = compute_stats(f1)
+        mu2, s2 = compute_stats(f2)
+        assert frechet_distance(mu1, s1, mu2, s2) == pytest.approx(4.0, rel=2e-2)
+
+    def test_streaming_matches_full(self):
+        rng = np.random.default_rng(3)
+        f = rng.standard_normal((1000, 4))
+        mu_a, s_a = compute_stats(f)
+        mu_b, s_b = compute_stats([f[:300], f[300:650], f[650:]])
+        np.testing.assert_allclose(mu_a, mu_b, rtol=1e-10)
+        np.testing.assert_allclose(s_a, s_b, rtol=1e-10)
+
+    def test_stats_io(self, tmp_path):
+        mu, s = np.ones(3), np.eye(3)
+        save_stats(tmp_path / "s.npz", mu, s)
+        mu2, s2 = load_stats(tmp_path / "s.npz")
+        np.testing.assert_array_equal(mu, mu2)
+
+    def test_dir_pipeline_with_fake_features(self, tmp_path):
+        from PIL import Image
+
+        rng = np.random.default_rng(4)
+        for name, offset in (("a", 0), ("b", 64)):
+            d = tmp_path / name
+            d.mkdir()
+            for i in range(8):
+                arr = (rng.integers(0, 128, (8, 8, 3)) + offset).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+        fake = lambda imgs: imgs.reshape(len(imgs), -1).astype(np.float64)
+        same = fid_between_dirs(tmp_path / "a", tmp_path / "a", fake, batch_size=4)
+        diff = fid_between_dirs(tmp_path / "a", tmp_path / "b", fake, batch_size=4)
+        assert same == pytest.approx(0.0, abs=0.2)  # 8 samples: rank noise
+        assert diff > 100  # offset by 64 per pixel
+
+
+class TestPosthocEMAEndToEnd:
+    def test_reconstruct_cli(self, tmp_path):
+        """Train briefly with two EMA profiles, reconstruct a third sigma_rel,
+        and load the result for generation."""
+        import jax
+        import jax.numpy as jnp
+
+        from tests.test_e2e import make_trainer, tiny_spec
+        from tinyedm_tpu.posthoc_ema import reconstruct
+        from tinyedm_tpu.training.checkpoint import load_edm_from_checkpoint
+
+        spec = tiny_spec()
+        spec = type(spec)(
+            **{
+                **{f.name: getattr(spec, f.name) for f in spec.__dataclass_fields__.values()},
+                "ema_lengths": (0.05, 0.13),
+            }
+        )
+        trainer = make_trainer(tmp_path, spec, max_epochs=1)
+        trainer.fit()
+        trainer.ckpt.wait()
+        assert len(trainer.state.ema) == 2
+
+        out = tmp_path / "posthoc"
+        reconstruct(
+            str(tmp_path / "run" / "checkpoints"),
+            target_sigma_rel=0.10,
+            out_dir=str(out),
+        )
+        spec2, model, variables, state = load_edm_from_checkpoint(out, load_ema=True)
+        x = jnp.zeros((2, 8, 8, 1))
+        y = model.apply(variables, x, jnp.ones((2,)), jnp.asarray([0, 1]))
+        assert np.isfinite(np.asarray(y)).all()

@@ -1,0 +1,143 @@
+"""FID evaluation (SURVEY.md §7.3 hard part 4: the reference publishes
+CIFAR-10 FID 4.0 but ships no FID code; this pins the implementation).
+
+Frechet Inception Distance between two sets of feature statistics:
+    FID = |mu1 - mu2|^2 + tr(S1 + S2 - 2 (S1 S2)^{1/2})
+
+The feature extractor is pluggable: ``inception_features`` loads the
+standard pre-trained InceptionV3-pool3 (2048-d) when torchvision weights are
+available locally (no network egress in this environment); any callable
+``images_uint8_nhwc -> (N, D) features`` works, so tests use a cheap stand-in
+and research code can swap in CLIP or DINOv2 features unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+FeatureFn = Callable[[np.ndarray], np.ndarray]
+
+
+def compute_stats(
+    features_or_batches, feature_fn: Optional[FeatureFn] = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Streaming (mu, sigma) over feature batches — 50k x 2048 never needs to
+    be resident at once."""
+    n = 0
+    s = None
+    ss = None
+    it = features_or_batches
+    if isinstance(it, np.ndarray):
+        it = [it]
+    for batch in it:
+        f = np.asarray(feature_fn(batch) if feature_fn is not None else batch)
+        f = f.astype(np.float64)
+        if s is None:
+            s = np.zeros(f.shape[1])
+            ss = np.zeros((f.shape[1], f.shape[1]))
+        n += f.shape[0]
+        s += f.sum(axis=0)
+        ss += f.T @ f
+    if n < 2:
+        raise ValueError("need at least 2 samples for covariance")
+    mu = s / n
+    sigma = (ss - n * np.outer(mu, mu)) / (n - 1)
+    return mu, sigma
+
+
+def _sqrtm_psd(mat: np.ndarray) -> np.ndarray:
+    """Matrix square root via eigendecomposition (symmetric PSD up to noise)."""
+    vals, vecs = np.linalg.eigh(mat)
+    vals = np.clip(vals, 0.0, None)
+    return (vecs * np.sqrt(vals)) @ vecs.T
+
+
+def frechet_distance(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray
+) -> float:
+    """FID between two Gaussians. Uses the eigendecomposition form
+    tr((S1 S2)^{1/2}) = sum sqrt(eig(S1 S2)) computed stably via
+    S1^{1/2} S2 S1^{1/2}."""
+    diff = mu1 - mu2
+    s1_half = _sqrtm_psd(sigma1)
+    inner = s1_half @ sigma2 @ s1_half
+    vals = np.linalg.eigvalsh((inner + inner.T) / 2.0)
+    tr_sqrt = np.sum(np.sqrt(np.clip(vals, 0.0, None)))
+    fid = float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * tr_sqrt)
+    # rank-deficient covariances (few samples) produce small negative noise
+    return max(fid, 0.0)
+
+
+def save_stats(path: str | Path, mu: np.ndarray, sigma: np.ndarray) -> None:
+    np.savez(path, mu=mu, sigma=sigma)
+
+
+def load_stats(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    d = np.load(path)
+    return d["mu"], d["sigma"]
+
+
+def png_dir_batches(
+    directory: str | Path, batch_size: int = 256
+) -> Iterator[np.ndarray]:
+    """Stream a directory of images (e.g. generate.py output) as uint8 NHWC."""
+    from PIL import Image
+
+    paths = sorted(
+        p for p in Path(directory).iterdir() if p.suffix.lower() in (".png", ".jpg")
+    )
+    batch = []
+    for p in paths:
+        with Image.open(p) as im:
+            batch.append(np.asarray(im.convert("RGB")))
+        if len(batch) == batch_size:
+            yield np.stack(batch)
+            batch = []
+    if batch:
+        yield np.stack(batch)
+
+
+def inception_features(device: str = "cpu") -> FeatureFn:
+    """Standard FID features: torchvision InceptionV3 pool3 (2048-d), weights
+    loaded from the local torchvision cache (no egress here)."""
+    import torch
+    from torchvision.models import Inception_V3_Weights, inception_v3
+
+    model = inception_v3(weights=Inception_V3_Weights.IMAGENET1K_V1)
+    model.fc = torch.nn.Identity()
+    model.eval().to(device)
+
+    def fn(images: np.ndarray) -> np.ndarray:
+        x = torch.from_numpy(np.asarray(images, np.float32) / 255.0)
+        x = x.permute(0, 3, 1, 2).to(device)
+        x = torch.nn.functional.interpolate(
+            x, size=(299, 299), mode="bilinear", align_corners=False
+        )
+        x = (x - 0.5) / 0.5
+        with torch.no_grad():
+            return model(x).cpu().numpy()
+
+    return fn
+
+
+def fid_between_dirs(
+    dir1: str | Path,
+    dir2_or_stats: str | Path,
+    feature_fn: Optional[FeatureFn] = None,
+    batch_size: int = 256,
+) -> float:
+    """FID between a sample directory and either another directory or a saved
+    .npz stats file (the usual 50k-samples-vs-dataset-stats protocol)."""
+    if feature_fn is None:
+        feature_fn = inception_features()
+    mu1, s1 = compute_stats(png_dir_batches(dir1, batch_size), feature_fn)
+    p2 = Path(dir2_or_stats)
+    if p2.suffix == ".npz":
+        mu2, s2 = load_stats(p2)
+    else:
+        mu2, s2 = compute_stats(png_dir_batches(p2, batch_size), feature_fn)
+    return frechet_distance(mu1, s1, mu2, s2)
