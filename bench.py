@@ -18,10 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: first bench run pays ~5 min of TPU compiles,
-# subsequent runs start in seconds
-jax.config.update("jax_compilation_cache_dir", "/tmp/tinyedm_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from tinyedm_tpu.utils.tpu import tune_for_tpu
+
+# persistent compilation cache + RBG PRNG (threefry dropout masks alone cost
+# 99 ms of a 271 ms step on v5e; see utils/tpu.py)
+tune_for_tpu()
 
 BATCH = 256
 SAMPLE_BATCH = 128

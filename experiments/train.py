@@ -23,6 +23,12 @@ def main(argv=None) -> None:
     parser.add_argument("--config-path", default=str(Path(__file__).parent / "conf"))
     parser.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     parser.add_argument("--max-epochs", type=int, default=None)
+    parser.add_argument(
+        "--multihost",
+        action="store_true",
+        help="call jax.distributed.initialize() for multi-host meshes "
+        "(ICI within a slice, DCN across slices)",
+    )
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = parser.parse_args(argv)
 
@@ -34,8 +40,14 @@ def main(argv=None) -> None:
 
     import jax
 
+    if args.multihost:
+        jax.distributed.initialize()
+
     from tinyedm_tpu.training.trainer import Trainer
     from tinyedm_tpu.utils.logging import MetricLogger
+    from tinyedm_tpu.utils.tpu import tune_for_tpu
+
+    tune_for_tpu()
 
     seed = cfg.get("seed", 42)
     tcfg = cfg.get("trainer", {})

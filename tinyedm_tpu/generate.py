@@ -24,6 +24,7 @@ from tinyedm_tpu.data.datamodules import RandomNoiseDataModule
 from tinyedm_tpu.diffusion.solver import DeterministicSolver
 from tinyedm_tpu.training.callbacks import PreditionWriter
 from tinyedm_tpu.training.checkpoint import load_edm_from_checkpoint
+from tinyedm_tpu.utils.tpu import tune_for_tpu
 
 # reference default stats (generate.py:31-34) — CIFAR-10; override via flags
 CIFAR10_MEAN = (0.49139968, 0.48215841, 0.44653091)
@@ -46,6 +47,7 @@ def generate(
     solver_dtype: str | None = None,
     seed: int = 0,
 ) -> None:
+    tune_for_tpu()
     spec, model, variables, _ = load_edm_from_checkpoint(
         ckpt_path, load_ema=load_ema
     )

@@ -53,16 +53,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch (pytree of arrays with leading batch dim) onto the
-    mesh, split along ``data``. Single-process: a plain device_put. Multi-host:
-    assembles the global array from per-process shards."""
+    """Place a host batch (pytree of arrays with a leading GLOBAL batch dim)
+    onto the mesh, split along ``data``.
+
+    Single-process: a plain device_put. Multi-host: every process holds the
+    same global batch iteration order (the datamodules shuffle with a shared
+    seed), so each process contributes its disjoint slice and the global
+    array is assembled via make_array_from_process_local_data — the per-host
+    input pipeline of SURVEY.md §2.4 without any cross-host data exchange."""
     sharding = batch_sharding(mesh)
-    if jax.process_count() == 1:
+    pc = jax.process_count()
+    if pc == 1:
         return jax.device_put(batch, sharding)
-    return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
-        batch,
-    )
+    pi = jax.process_index()
+
+    def place(x):
+        x = np.asarray(x)
+        per = x.shape[0] // pc
+        local = x[pi * per : (pi + 1) * per]
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    return jax.tree_util.tree_map(place, batch)
 
 
 def replicate_state(mesh: Mesh, state: Any) -> Any:

@@ -38,6 +38,9 @@ class OptimizerConfig:
     # "step": the tick is the optimizer step count (reference scheduler_interval)
     scheduler_interval: str = "epoch"
     accum_steps: int = 1  # gradient accumulation microbatches (imagenet.yaml: 3)
+    # wandb.watch(log="all") analog (reference train.py:28): emit global
+    # gradient/parameter L2 norms as step metrics (costs two tree reductions)
+    log_norms: bool = False
 
 
 def make_adam(betas: tuple[float, float], eps: float) -> optax.GradientTransformation:
@@ -211,6 +214,17 @@ def make_train_step(
         }
         if "uncertainty" in metrics:
             out_metrics["uncertainty"] = metrics["uncertainty"]
+        if opt_cfg.log_norms:
+            gsq = sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)
+            )
+            psq = sum(
+                jnp.sum(jnp.square(p.astype(jnp.float32)))
+                for p in jax.tree_util.tree_leaves(params)
+            )
+            out_metrics["grad_norm"] = jnp.sqrt(gsq)
+            out_metrics["param_norm"] = jnp.sqrt(psq)
         return new_state, out_metrics
 
     return train_step

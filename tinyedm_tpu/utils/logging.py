@@ -17,11 +17,19 @@ from typing import Any, Mapping, Optional
 
 class MetricLogger:
     def __init__(self, out_dir: str | Path, use_wandb: bool = False, wandb_kwargs: Optional[dict] = None):
+        import jax
+
+        # rank-zero-only side effects (reference: lightning rank_zero_only,
+        # callbacks.py:27) — non-zero processes get a silent no-op logger
+        self.enabled = jax.process_index() == 0
         self.out_dir = Path(out_dir)
-        self.out_dir.mkdir(parents=True, exist_ok=True)
-        self._metrics_file = open(self.out_dir / "metrics.jsonl", "a", buffering=1)
         self._t0 = time.time()
         self._wandb = None
+        if not self.enabled:
+            self._metrics_file = None
+            return
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self._metrics_file = open(self.out_dir / "metrics.jsonl", "a", buffering=1)
         if use_wandb:
             try:
                 import wandb
@@ -33,6 +41,8 @@ class MetricLogger:
                 self._wandb = None
 
     def log_metrics(self, metrics: Mapping[str, Any], step: int) -> None:
+        if not self.enabled:
+            return
         row = {"step": int(step), "time": round(time.time() - self._t0, 3)}
         row.update({k: float(v) for k, v in metrics.items()})
         self._metrics_file.write(json.dumps(row) + "\n")
@@ -40,6 +50,8 @@ class MetricLogger:
             self._wandb.log(dict(metrics), step=int(step))
 
     def log_image(self, key: str, image, step: int) -> None:
+        if not self.enabled:
+            return
         from PIL import Image
         import numpy as np
 
@@ -51,9 +63,11 @@ class MetricLogger:
             self._wandb.log({key: self._wandb.Image(arr)}, step=int(step))
 
     def log_text(self, key: str, text: str) -> None:
-        print(f"[{key}] {text}")
+        if self.enabled:
+            print(f"[{key}] {text}")
 
     def close(self) -> None:
-        self._metrics_file.close()
+        if self._metrics_file is not None:
+            self._metrics_file.close()
         if self._wandb is not None:
             self._wandb.finish()
