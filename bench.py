@@ -86,9 +86,11 @@ def bench_train(state, step, batch):
     return dt, state, flops
 
 
-def bench_sampler(model, state):
+def bench_sampler(model, state, spec=None):
     from tinyedm_tpu.diffusion.solver import DeterministicSolver
 
+    if spec is not None:
+        model = spec.build_model(inference_fast=True)
     solver = DeterministicSolver(num_steps=32, dtype="float32")
     variables = {"params": state.params, "constants": state.constants}
 
@@ -126,7 +128,7 @@ def main() -> None:
     )
     vs_baseline = samples_per_sec / a100_samples_per_sec if a100_samples_per_sec else 0.0
 
-    imgs_per_sec = bench_sampler(model, state)
+    imgs_per_sec = bench_sampler(model, state, spec)
 
     print(
         json.dumps(

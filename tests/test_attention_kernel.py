@@ -6,7 +6,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tinyedm_tpu.ops.attention import _xla_attention, flash_attention
+from tinyedm_tpu.ops.attention import (
+    _flash_attention_kernel_path,
+    _xla_attention,
+    flash_attention,
+)
 
 
 @pytest.mark.parametrize(
@@ -23,7 +27,7 @@ def test_matches_xla(b, n, h, d):
     q = jax.random.normal(kq, (b, n, h, d), jnp.float32)
     k = jax.random.normal(kk, (b, n, h, d), jnp.float32)
     v = jax.random.normal(kv, (b, n, h, d), jnp.float32)
-    out = flash_attention(q, k, v)
+    out = _flash_attention_kernel_path(q, k, v)
     ref = _xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
@@ -34,7 +38,7 @@ def test_bf16():
         jax.random.normal(kk, (1, 64, 2, 64), jnp.bfloat16)
         for kk in jax.random.split(key, 3)
     )
-    out = flash_attention(q, k, v)
+    out = _flash_attention_kernel_path(q, k, v)
     ref = _xla_attention(q, k, v)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(
@@ -50,7 +54,7 @@ def test_gradients_match_xla():
     )
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v) ** 2)
+        return jnp.sum(_flash_attention_kernel_path(q, k, v) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(_xla_attention(q, k, v) ** 2)
@@ -72,4 +76,20 @@ def test_in_cosine_attention_module():
     y_pal = m_pal.apply(variables, x)
     np.testing.assert_allclose(
         np.asarray(y_pal), np.asarray(y_ref), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_dispatch_by_token_count():
+    """flash_attention routes small token counts to XLA (identical results
+    either way; this checks the dispatch wiring doesn't break)."""
+    import tinyedm_tpu.ops.attention as A
+
+    q, k, v = (
+        jax.random.normal(kk, (1, 64, 2, 32), jnp.float32)
+        for kk in jax.random.split(jax.random.PRNGKey(5), 3)
+    )
+    np.testing.assert_allclose(
+        np.asarray(A.flash_attention(q, k, v)),
+        np.asarray(A._xla_attention(q, k, v)),
+        rtol=1e-5,
     )

@@ -34,7 +34,7 @@ def test_overrides():
     assert cfg["trainer"]["max_epochs"] == 7
 
 
-@pytest.mark.parametrize("name", ["mnist", "cifar10", "imagenet"])
+@pytest.mark.parametrize("name", ["mnist", "cifar10", "imagenet", "imagenet512", "smoke"])
 def test_instantiate_all_shipped_configs(name):
     cfg = load_config(CONF / f"{name}.yaml")
     spec = instantiate(cfg["model"])
@@ -44,6 +44,19 @@ def test_instantiate_all_shipped_configs(name):
     assert spec.build_optimizer_config().lr == cfg["model"]["lr"]
     if cfg["model"]["use_ema"]:
         assert spec.build_ema_config() is not None
+    # the model must at least shape-check at its native resolution
+    hw = {"mnist": 28, "cifar10": 32, "imagenet": 64, "imagenet512": 64, "smoke": 16}[name]
+    cin = cfg["model"]["denoiser"].get("in_channels", 3)
+    v = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, hw, hw, cin)),
+            jnp.ones((1,)),
+            jnp.zeros((1,), jnp.int32) if model.conditional else None,
+            method=model.denoise_with_aux,
+        )
+    )
+    assert "params" in v
 
 
 def test_deinstantiate_roundtrip():

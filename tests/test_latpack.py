@@ -1,0 +1,84 @@
+"""Native latpack store tests: build, pack, mmap gather, data module."""
+
+import numpy as np
+import pytest
+
+from tinyedm_tpu.data import latpack
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("latpack")
+    lat_dir = tmp / "latents"
+    lab_dir = tmp / "labels"
+    lat_dir.mkdir()
+    lab_dir.mkdir()
+    rng = np.random.default_rng(0)
+    n = 23
+    ref_lat = []
+    ref_lab = []
+    for i in range(n):
+        lat = rng.standard_normal((4, 8, 8)).astype(np.float32)  # CHW like ref
+        lab = np.int64(i % 7)
+        np.save(lat_dir / f"{i}.npy", lat)
+        np.save(lab_dir / f"{i}.npy", lab)
+        ref_lat.append(lat.transpose(1, 2, 0))  # expected HWC
+        ref_lab.append(int(lab))
+    out = tmp / "data.latpack"
+    count = latpack.pack(lat_dir, lab_dir, out)
+    assert count == n
+    return out, np.stack(ref_lat), np.asarray(ref_lab)
+
+
+def test_open_info(packed):
+    path, ref_lat, _ = packed
+    store = latpack.PackedLatents(path)
+    assert len(store) == 23
+    assert (store.h, store.w, store.c) == (8, 8, 4)
+    store.close()
+
+
+def test_gather_correctness(packed):
+    path, ref_lat, ref_lab = packed
+    store = latpack.PackedLatents(path, gather_threads=3)
+    idx = np.asarray([0, 22, 7, 7, 13])
+    lat, lab = store.gather(idx)
+    assert lat.shape == (5, 8, 8, 4)
+    np.testing.assert_array_equal(lab, ref_lab[idx])
+    np.testing.assert_allclose(lat, ref_lat[idx], rtol=0, atol=0)
+    store.close()
+
+
+def test_gather_out_of_range(packed):
+    path, _, _ = packed
+    store = latpack.PackedLatents(path)
+    with pytest.raises(IndexError):
+        store.gather(np.asarray([100]))
+    store.close()
+
+
+def test_datamodule_epoch(packed):
+    path, ref_lat, ref_lab = packed
+    dm = latpack.PackedLatentsDataModule(
+        batch_size=4, data_file=str(path), val_fraction=0.15
+    )
+    dm.setup()
+    batches = list(dm.train_batches(epoch=0))
+    assert len(batches) == dm.steps_per_epoch()
+    imgs, labs = batches[0]
+    assert imgs.shape == (4, 8, 8, 4)
+    assert imgs.dtype == np.float32
+    # shuffling differs across epochs but is deterministic per epoch
+    b0a = list(dm.train_batches(epoch=0))[0][1]
+    b0b = list(dm.train_batches(epoch=0))[0][1]
+    b1 = list(dm.train_batches(epoch=1))[0][1]
+    np.testing.assert_array_equal(b0a, b0b)
+    assert not np.array_equal(b0a, b1)
+    # val batches draw from the held-out tail
+    vals = list(dm.val_batches())
+    assert all(v[0].shape[0] == 4 for v in vals) or vals == []
+
+
+def test_missing_file():
+    with pytest.raises(FileNotFoundError):
+        latpack.PackedLatents("/nonexistent.latpack")

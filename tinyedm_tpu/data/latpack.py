@@ -1,0 +1,196 @@
+"""ctypes bindings + data module for the native latpack store (native/latpack.cc).
+
+Build: compiled on demand with g++ into native/build/liblatpack.so (no
+pybind11 in this environment; plain C ABI + ctypes). See latpack.cc for the
+design rationale (replaces the reference's per-sample .npy + DataLoader
+workers with one packed file + mmap'd multithreaded gather).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC = _REPO_ROOT / "native" / "latpack.cc"
+_BUILD_DIR = _REPO_ROOT / "native" / "build"
+_LIB = _BUILD_DIR / "liblatpack.so"
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build_library() -> Path:
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _LIB
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        str(_SRC), "-o", str(_LIB),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return _LIB
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(str(_build_library()))
+        lib.latpack_pack.restype = ctypes.c_long
+        lib.latpack_pack.argtypes = [ctypes.c_char_p] * 3
+        lib.latpack_open.restype = ctypes.c_void_p
+        lib.latpack_open.argtypes = [ctypes.c_char_p]
+        lib.latpack_info.argtypes = [ctypes.c_void_p] + [
+            ctypes.POINTER(ctypes.c_uint32)
+        ] * 4
+        lib.latpack_gather.restype = ctypes.c_int
+        lib.latpack_gather.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
+        lib.latpack_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+def pack(latents_dir: str | Path, labels_dir: str | Path, out_path: str | Path) -> int:
+    """Pack per-sample npy latents/labels into one latpack file. Returns n."""
+    lib = _load()
+    n = lib.latpack_pack(
+        str(latents_dir).encode(), str(labels_dir).encode(), str(out_path).encode()
+    )
+    if n < 0:
+        raise RuntimeError(f"latpack_pack failed with code {n}")
+    return int(n)
+
+
+class PackedLatents:
+    """mmap-backed random-access latent store."""
+
+    def __init__(self, path: str | Path, gather_threads: int = 4):
+        self._lib = _load()
+        self._handle = self._lib.latpack_open(str(path).encode())
+        if not self._handle:
+            raise FileNotFoundError(f"cannot open latpack file {path}")
+        n = ctypes.c_uint32()
+        h = ctypes.c_uint32()
+        w = ctypes.c_uint32()
+        c = ctypes.c_uint32()
+        self._lib.latpack_info(
+            self._handle,
+            ctypes.byref(n), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
+        )
+        self.n, self.h, self.w, self.c = n.value, h.value, w.value, c.value
+        self.gather_threads = gather_threads
+
+    def __len__(self) -> int:
+        return self.n
+
+    def gather(self, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        indices = np.ascontiguousarray(indices, np.int64)
+        count = len(indices)
+        out = np.empty((count, self.h, self.w, self.c), np.float32)
+        labels = np.empty((count,), np.int32)
+        rc = self._lib.latpack_gather(
+            self._handle,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.gather_threads,
+        )
+        if rc != 0:
+            raise IndexError("latpack_gather: index out of range")
+        return out, labels
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.latpack_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class PackedLatentsDataModule:
+    """Drop-in ImageNetLatentsDataModule alternative backed by latpack.
+
+    The dataset never loads into Python memory: batches are gathered from the
+    mmap'd file by native threads (the OS page cache does the rest).
+    """
+
+    def __init__(
+        self,
+        batch_size: int,
+        data_file: str,
+        num_workers: int = 4,  # -> native gather threads
+        val_fraction: float = 0.01,
+        num_classes: int = 1000,
+        seed: int = 0,
+    ):
+        self.batch_size = batch_size
+        self.data_file = data_file
+        self.num_workers = max(1, num_workers)
+        self.val_fraction = val_fraction
+        self.num_classes = num_classes
+        self.seed = seed
+        self._store: Optional[PackedLatents] = None
+        self._n_val = 0
+
+    def prepare_data(self) -> None: ...
+
+    def setup(self, stage: str = "fit") -> None:
+        self._store = PackedLatents(self.data_file, gather_threads=self.num_workers)
+        self._n_val = max(1, int(self._store.n * self.val_fraction))
+
+    @property
+    def _n_train(self) -> int:
+        return self._store.n - self._n_val
+
+    def steps_per_epoch(self, drop_last: bool = True) -> int:
+        return self._n_train // self.batch_size
+
+    def train_batches(self, epoch: int, drop_last: bool = True) -> Iterator:
+        assert self._store is not None, "call setup() first"
+        rng = np.random.default_rng((self.seed, epoch))
+        order = rng.permutation(self._n_train)
+        stop = self._n_train - self._n_train % self.batch_size
+        for start in range(0, stop, self.batch_size):
+            yield self._store.gather(order[start : start + self.batch_size])
+
+    def val_batches(self) -> Iterator:
+        assert self._store is not None, "call setup() first"
+        idx = np.arange(self._n_train, self._store.n)
+        stop = len(idx) - len(idx) % self.batch_size
+        for start in range(0, max(stop, 0), self.batch_size):
+            yield self._store.gather(idx[start : start + self.batch_size])
+
+    def denormalize(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(x)
+
+
+def main(argv=None) -> None:
+    """CLI: python -m tinyedm_tpu.data.latpack <latents_dir> <labels_dir> <out.latpack>"""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Pack npy latents into a latpack file")
+    p.add_argument("latents_dir")
+    p.add_argument("labels_dir")
+    p.add_argument("out_path")
+    args = p.parse_args(argv)
+    n = pack(args.latents_dir, args.labels_dir, args.out_path)
+    print(f"packed {n} samples -> {args.out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,7 @@ def generate(
     spec, model, variables, _ = load_edm_from_checkpoint(
         ckpt_path, load_ema=load_ema
     )
+    model = spec.build_model(inference_fast=True)  # Pallas attention on TPU
     if load_ema:
         print("EMA weights loaded.")
     solver = DeterministicSolver(num_steps=num_steps, dtype=solver_dtype)

@@ -54,12 +54,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_actual: int):
     e = jnp.exp(logits - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     w = (e / denom).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
+    # MXU accumulation must be 32-bit (Mosaic verifier rejects bf16 acc)
+    out = jax.lax.dot_general(
         w,
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=v.dtype,
+        preferred_element_type=jnp.float32,
     )
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -115,10 +117,24 @@ def _flash_fwd_impl(q, k, v, *, interpret: bool | None = None):
     return out
 
 
+# Below this token count the XLA path wins in-model: pallas_call is a fusion
+# boundary and sub-128 token counts pad to full tiles. Measured on v5e
+# (CIFAR 35.6M sampler): pallas-everywhere 75 img/s vs XLA 87 img/s, while
+# standalone 4096-token attention is 1.9x faster in Pallas.
+MIN_PALLAS_TOKENS = 1024
+
+
 @jax.custom_vjp
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Fused attention: q, k, v shaped (batch, tokens, heads, head_dim)."""
+def _flash_attention_kernel_path(q, k, v):
     return _flash_fwd_impl(q, k, v)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Fused attention: q, k, v shaped (batch, tokens, heads, head_dim).
+    Dispatches to the Pallas kernel for large token counts, XLA otherwise."""
+    if q.shape[1] < MIN_PALLAS_TOKENS:
+        return _xla_attention(q, k, v)
+    return _flash_attention_kernel_path(q, k, v)
 
 
 def _fwd(q, k, v):
@@ -131,4 +147,4 @@ def _bwd(res, g):
     return vjp(g)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_attention_kernel_path.defvjp(_fwd, _bwd)

@@ -60,10 +60,21 @@ class EDMSpec:
     def conditional(self) -> bool:
         return self.embedding.num_classes is not None
 
-    def build_model(self) -> EDM:
+    def build_model(self, inference_fast: bool = False) -> EDM:
+        """``inference_fast`` swaps in the fused Pallas attention kernel for
+        gradient-free paths (sampling/eval) on TPU — measured 1.6-1.9x faster
+        than the XLA attention at 256-4096 tokens, parameter-compatible (the
+        flag changes no parameters). Training keeps the XLA path: the Pallas
+        kernel's backward recomputes through XLA, a net loss under grad."""
+        denoiser = self.denoiser
+        if inference_fast:
+            import jax
+
+            if jax.default_backend() == "tpu":
+                denoiser = denoiser.clone(use_pallas_attention=True)
         return EDM(
             embedding=self.embedding,
-            denoiser=self.denoiser,
+            denoiser=denoiser,
             use_uncertainty=self.use_uncertainty,
         )
 

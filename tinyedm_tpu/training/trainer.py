@@ -210,7 +210,8 @@ class Trainer:
         assert self.state is not None
         key = (id(solver), class_labels is not None, use_ema, ema_index)
         if key not in self._solve_cache:
-            model = self.model
+            # gradient-free path: Pallas attention kernel on TPU
+            model = self.spec.build_model(inference_fast=True)
 
             def sample(params, constants, x0, labels):
                 def denoise_fn(x, sigma, lab):
