@@ -43,6 +43,12 @@ class EncoderBlock(nn.Module):
     add_factor: float = 0.3
     dtype: Dtype = jnp.float32
     use_pallas_attention: bool = False
+    # True (default) = reference fp32 island semantics (networks.py:255,319).
+    # False casts the modulated residual to the compute dtype before mp_silu:
+    # measured +5.8%% train throughput on v5e; bf16 keeps fp32 range (the
+    # reference's fp16-overflow concern does not apply), only mantissa
+    # precision inside the silu differs.
+    mod_fp32: bool = True
 
     @nn.compact
     def __call__(
@@ -63,6 +69,8 @@ class EncoderBlock(nn.Module):
         )
         gain = self.param("gain", nn.initializers.ones, ())
         res = res.astype(jnp.float32) * (g * gain + 1.0)[:, None, None, :]
+        if not self.mod_fp32:
+            res = res.astype(self.dtype)
         res = mp_silu(res)
         res = nn.Dropout(self.dropout_rate, deterministic=not train)(res)
         res = WNConv(self.out_channels, 3, dtype=self.dtype, name="conv_3x3_2")(res)
@@ -96,6 +104,7 @@ class DecoderBlock(nn.Module):
     add_factor: float = 0.3
     dtype: Dtype = jnp.float32
     use_pallas_attention: bool = False
+    mod_fp32: bool = True  # see EncoderBlock.mod_fp32
 
     @nn.compact
     def __call__(
@@ -125,6 +134,8 @@ class DecoderBlock(nn.Module):
         )
         gain = self.param("gain", nn.initializers.ones, ())
         res = res.astype(jnp.float32) * (g * gain + 1.0)[:, None, None, :]
+        if not self.mod_fp32:
+            res = res.astype(self.dtype)
         res = mp_silu(res)
         res = nn.Dropout(self.dropout_rate, deterministic=not train)(res)
         res = WNConv(self.out_channels, 3, dtype=self.dtype, name="conv_3x3_2")(res)

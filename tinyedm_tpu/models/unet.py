@@ -55,6 +55,7 @@ class Denoiser(nn.Module):
     num_heads: int = 4
     dtype: Dtype = jnp.float32
     use_pallas_attention: bool = False
+    mod_fp32: bool = True  # see blocks.py: fp32 modulation-island semantics
 
     def setup(self) -> None:
         validate_topology(
@@ -96,6 +97,7 @@ class Denoiser(nn.Module):
                 add_factor=self.encoder_add_factor,
                 dtype=self.dtype,
                 use_pallas_attention=self.use_pallas_attention,
+                mod_fp32=self.mod_fp32,
                 name=f"encoder_blocks_{i}",
             )(x, embedding, train=train)
             skips.append(x)
@@ -118,6 +120,7 @@ class Denoiser(nn.Module):
                 add_factor=self.decoder_add_factor,
                 dtype=self.dtype,
                 use_pallas_attention=self.use_pallas_attention,
+                mod_fp32=self.mod_fp32,
                 name=f"decoder_blocks_{i}",
             )(x, embedding, skip, train=train)
 
