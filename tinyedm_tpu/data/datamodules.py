@@ -18,7 +18,7 @@ import gzip
 import pickle
 import struct
 from pathlib import Path
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, Optional
 
 import numpy as np
 

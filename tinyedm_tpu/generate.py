@@ -76,6 +76,12 @@ def generate(
 
     t0 = time.time()
     done = 0
+    # pipeline: device solves batch k+1 while host PNG-encodes batch k
+    # (the reference round-trips serially per batch, callbacks.py:153)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=8)
+    pending = []
     for noise, labels, indices in datamodule.predict_batches():
         n = len(indices)
         if n < batch_size:  # pad the tail batch: one compiled shape only
@@ -83,11 +89,14 @@ def generate(
             noise = np.concatenate([noise, noise[:1].repeat(pad, 0)])
             labels = np.concatenate([labels, labels[:1].repeat(pad, 0)])
         xT = sample(jnp.asarray(noise), jnp.asarray(labels))[:n]
-        writer.write_batch(np.asarray(xT), indices)
-        done += len(indices)
+        pending.append(pool.submit(writer.write_batch, np.asarray(xT), indices))
+        done += n
         if done % (batch_size * 10) < batch_size:
             rate = done / (time.time() - t0)
             print(f"{done}/{num_samples} images ({rate:.1f} img/s)")
+    for f in pending:
+        f.result()
+    pool.shutdown()
     print(f"wrote {done} images to {output_dir} in {time.time()-t0:.1f}s")
 
 

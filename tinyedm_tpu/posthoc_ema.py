@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import argparse
 
-import jax
-import numpy as np
 
 
 def reconstruct(

@@ -18,12 +18,9 @@ TPU-idiomatic replacement for torch.save pickles.
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from tinyedm_tpu.training.state import TrainState

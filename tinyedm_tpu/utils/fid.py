@@ -13,7 +13,6 @@ and research code can swap in CLIP or DINOv2 features unchanged.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Callable, Iterator, Optional
 
