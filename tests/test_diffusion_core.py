@@ -130,6 +130,14 @@ class TestEMA:
             g**3 + 7 * g**2 + (16 - t) * g + (12 - t), 0.0, atol=1e-6
         )
 
+    def test_gamma_sigma_rel_roundtrip(self):
+        from tinyedm_tpu.training.ema import gamma_to_sigma_rel
+
+        for sr in (0.05, 0.10, 0.13, 0.2):
+            np.testing.assert_allclose(
+                gamma_to_sigma_rel(sigma_rel_to_gamma(sr)), sr, rtol=1e-8
+            )
+
     def test_sigma_rel_bounds(self):
         with pytest.raises(ValueError):
             sigma_rel_to_gamma(0.3)

@@ -8,11 +8,12 @@ in HBM costs bandwidth. It blocks over query tokens, keeps K/V resident in
 VMEM, computes logits on the MXU with fp32 accumulation, softmaxes in fp32,
 and writes only the (n, hd) output — the score matrix never leaves VMEM.
 
-Forward runs the Pallas kernel; backward recomputes through the pure-XLA
-reference path (standard flash-attention trade: recompute beats storing the
-n^2 matrix). Numerics: inputs are already pixel-normed by the caller
-(cosine attention), scale = 1/sqrt(head_dim), no masking (dense bidirectional
-spatial attention).
+Both directions are Pallas kernels: the forward never writes the (n, n)
+score matrix to HBM, and the backward recomputes the softmax per q-block
+(standard flash trade) while accumulating dK/dV across the sequential TPU
+grid. Numerics: inputs are already pixel-normed by the caller (cosine
+attention), scale = 1/sqrt(head_dim), no masking (dense bidirectional
+spatial attention); softmax and all matmul accumulation in fp32.
 """
 
 from __future__ import annotations
@@ -137,14 +138,126 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     return _flash_attention_kernel_path(q, k, v)
 
 
+def _attn_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale: float, n_actual: int
+):
+    """Flash backward for one (batch*head, q-block), full-K rows.
+
+    Recomputes p = softmax(qK^T * scale) (flash trade: recompute beats
+    storing the n^2 matrix), then
+        dp = g V^T;  delta = rowsum(dp * p);  ds = p * (dp - delta) * scale
+        dq_blk = ds K;   dk += ds^T q_blk;   dv += p^T g_blk
+    dk/dv accumulate across the sequential q-block grid dimension (TPU grids
+    execute sequentially, so revisiting the same output block is safe).
+    """
+    j = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * jnp.float32(scale)
+    if k.shape[0] != n_actual:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < n_actual, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (bq, n) fp32
+
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * jnp.float32(scale)  # (bq, n)
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+
+    dk_contrib = jax.lax.dot_general(
+        ds, q.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_contrib = jax.lax.dot_general(
+        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = dk_contrib.astype(dk_ref.dtype)
+        dv_ref[0] = dv_contrib.astype(dv_ref.dtype)
+
+    @pl.when(j > 0)
+    def _():
+        dk_ref[0] = (dk_ref[0].astype(jnp.float32) + dk_contrib).astype(dk_ref.dtype)
+        dv_ref[0] = (dv_ref[0].astype(jnp.float32) + dv_contrib).astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, g, *, interpret: bool | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, h, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+
+    qb, kb, vb, gb = to_bh(q), to_bh(k), to_bh(v), to_bh(g)
+    d_pad = _round_up(d, 128)
+    n_pad = _round_up(n, 128)
+    if d_pad != d or n_pad != n:
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
+        qb, kb, vb, gb = pad(qb), pad(kb), pad(vb), pad(gb)
+    block_q = min(128, n_pad)  # smaller than fwd: three (bq, n) fp32 live
+    grid = (b * h, n_pad // block_q)
+
+    kernel = functools.partial(_attn_bwd_kernel, scale=scale, n_actual=n)
+    full = lambda i, j: (i, 0, 0)
+    blk = lambda i, j: (i, j, 0)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b * h, n_pad, d_pad), v.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_pad), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d_pad), full, memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qb, kb, vb, gb)
+
+    def from_bh(x):
+        return x[:, :n, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+    return from_bh(dq), from_bh(dk), from_bh(dv)
+
+
 def _fwd(q, k, v):
     return _flash_fwd_impl(q, k, v), (q, k, v)
 
 
 def _bwd(res, g):
     q, k, v = res
-    _, vjp = jax.vjp(_xla_attention, q, k, v)
-    return vjp(g)
+    return _flash_bwd_impl(q, k, v, g)
 
 
 _flash_attention_kernel_path.defvjp(_fwd, _bwd)

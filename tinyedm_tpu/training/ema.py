@@ -44,13 +44,12 @@ def sigma_rel_to_gamma(sigma_rel: float) -> float:
 
 
 def gamma_to_sigma_rel(gamma: float) -> float:
-    """Inverse map (EDM2 paper eq. 123): sr = sqrt((g+1)/((g+2)^2 (g+3)))... via
-    the defining relation sr^-2 = the cubic's t; used for reporting."""
+    """Inverse of sigma_rel_to_gamma, from the defining cubic:
+    g^3 + 7g^2 + (16 - t)g + (12 - t) = 0 with t = sigma_rel^-2
+    =>  t = (g^3 + 7g^2 + 16g + 12) / (g + 1)."""
     g = float(gamma)
-    t = g**3 + 7 * g**2 + 16 * g + 12  # solve the cubic for t given gamma
-    t = t / (g + 1)  # (g^3+7g^2+16g+12) = (g+1)(g^2+6g+... ) / guard below
-    # Derivation: cubic g^3+7g^2+(16-t)g+(12-t)=0  =>  t = (g^3+7g^2+16g+12)/(g+1)
-    return 1.0 / np.sqrt(t)
+    t = (g**3 + 7 * g**2 + 16 * g + 12) / (g + 1)
+    return float(1.0 / np.sqrt(t))
 
 
 def power_ema_decay(step: jnp.ndarray, gamma: float) -> jnp.ndarray:

@@ -62,10 +62,11 @@ class EDMSpec:
 
     def build_model(self, inference_fast: bool = False) -> EDM:
         """``inference_fast`` swaps in the fused Pallas attention kernel for
-        gradient-free paths (sampling/eval) on TPU — measured 1.6-1.9x faster
-        than the XLA attention at 256-4096 tokens, parameter-compatible (the
-        flag changes no parameters). Training keeps the XLA path: the Pallas
-        kernel's backward recomputes through XLA, a net loss under grad."""
+        sampling/eval paths on TPU — measured 1.6-1.9x faster than the XLA
+        attention at 256-4096 tokens, parameter-compatible (the flag changes
+        no parameters). The kernel has a Pallas backward too; training enables
+        it via ``denoiser.use_pallas_attention`` in configs whose resolutions
+        reach the >=1024-token dispatch threshold (e.g. imagenet512)."""
         denoiser = self.denoiser
         if inference_fast:
             import jax
