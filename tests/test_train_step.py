@@ -184,3 +184,22 @@ def test_loss_decreases_on_fixed_batch():
     assert np.mean(losses[-10:]) < 0.88 * np.mean(losses[:10]), (
         np.mean(losses[:10]), np.mean(losses[-10:]),
     )
+
+
+def test_scheduler_interval_step_vs_epoch():
+    """The LR the step applies follows the sched_count input — per-step for
+    scheduler_interval='step' (imagenet.yaml) vs per-epoch (cifar10.yaml);
+    the train step itself is agnostic, the Trainer feeds the right counter."""
+    model = tiny_model()
+    diffuser = Diffuser(-1.2, 1.2)
+    cfg = OptimizerConfig(lr=1.0, rampup_steps=10, steady_steps=10)
+    img = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 1))
+    state = init_train_state(jax.random.PRNGKey(1), model, img, cfg)
+    step = jax.jit(make_train_step(model, diffuser, cfg))
+    batch = (img, jnp.zeros((4,), jnp.int32))
+    _, m5 = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(5.0))
+    state2 = init_train_state(jax.random.PRNGKey(1), model, img, cfg)
+    _, m15 = step(state2, batch, jax.random.PRNGKey(2), jnp.asarray(15.0))
+    # rampup at count 5 -> lr 0.5; steady at count 15 -> lr 1.0
+    np.testing.assert_allclose(float(m5["learning_rate"]), 0.5, rtol=1e-5)
+    np.testing.assert_allclose(float(m15["learning_rate"]), 1.0, rtol=1e-5)
