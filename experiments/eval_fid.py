@@ -1,0 +1,120 @@
+"""End-to-end FID evaluation: generate 50k samples from a checkpoint and
+score them against dataset statistics (the protocol behind the reference's
+headline CIFAR-10 FID 4.0 — 50k samples, 32-step Heun, batch 128;
+reference README.md:52-62; the reference ships no FID code, SURVEY.md §7.3).
+
+Usage:
+  # one-time: reference statistics from the real dataset
+  python experiments/eval_fid.py stats --data-dir datasets/cifar10 --out cifar_stats.npz
+  # evaluate a checkpoint
+  python experiments/eval_fid.py score --ckpt_path runs/cifar10/checkpoints \
+      --stats cifar_stats.npz --num_samples 50000 --load_ema
+
+Needs an Inception feature extractor (torchvision weights) or any
+``--features`` plugin module exposing ``feature_fn()``; neither network
+downloads nor torchvision are available in this build environment, so this
+CLI is exercised by tests with a stand-in feature function.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def _feature_fn(spec: str | None):
+    from tinyedm_tpu.utils.fid import inception_features
+
+    if spec is None:
+        return inception_features()
+    mod = importlib.import_module(spec)
+    return mod.feature_fn()
+
+
+def cmd_stats(args) -> None:
+    from tinyedm_tpu.data.datamodules import CIFAR10DataModule
+    from tinyedm_tpu.utils.fid import compute_stats, save_stats
+
+    dm = CIFAR10DataModule(batch_size=args.batch_size, data_dir=args.data_dir)
+    dm.setup()
+    feature_fn = _feature_fn(args.features)
+
+    def batches():
+        for start in range(0, len(dm.train_images), args.batch_size):
+            yield dm.train_images[start : start + args.batch_size]
+
+    mu, sigma = compute_stats(batches(), feature_fn)
+    save_stats(args.out, mu, sigma)
+    print(f"wrote stats ({len(mu)}-d features) to {args.out}")
+
+
+def cmd_score(args) -> None:
+    from tinyedm_tpu.generate import generate
+    from tinyedm_tpu.utils.fid import (
+        compute_stats,
+        frechet_distance,
+        load_stats,
+        png_dir_batches,
+    )
+
+    sample_dir = args.sample_dir or tempfile.mkdtemp(prefix="fid_samples_")
+    if not args.skip_generate:
+        generate(
+            ckpt_path=args.ckpt_path,
+            load_ema=args.load_ema,
+            output_dir=sample_dir,
+            num_samples=args.num_samples,
+            image_size=args.image_size,
+            num_classes=args.num_classes if args.num_classes > 0 else None,
+            batch_size=args.batch_size,
+            num_steps=args.num_steps,
+            mean=tuple(args.mean),
+            std=tuple(args.std),
+        )
+    feature_fn = _feature_fn(args.features)
+    mu1, s1 = compute_stats(png_dir_batches(sample_dir, args.batch_size), feature_fn)
+    mu2, s2 = load_stats(args.stats)
+    fid = frechet_distance(mu1, s1, mu2, s2)
+    print(f"FID: {fid:.3f}")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="FID evaluation")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("stats", help="compute dataset reference statistics")
+    ps.add_argument("--data-dir", required=True)
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--batch-size", type=int, default=256)
+    ps.add_argument("--features", default=None, help="module exposing feature_fn()")
+    ps.set_defaults(fn=cmd_stats)
+
+    pc = sub.add_parser("score", help="generate + score a checkpoint")
+    pc.add_argument("--ckpt_path", required=True)
+    pc.add_argument("--stats", required=True)
+    pc.add_argument("--num_samples", type=int, default=50000)
+    pc.add_argument("--image_size", type=int, default=32)
+    pc.add_argument("--num_classes", type=int, default=0)
+    pc.add_argument("--batch_size", type=int, default=128)
+    pc.add_argument("--num_steps", type=int, default=32)
+    pc.add_argument("--load_ema", action="store_true")
+    pc.add_argument("--mean", type=float, nargs="+", default=[0.49139968, 0.48215841, 0.44653091])
+    pc.add_argument("--std", type=float, nargs="+", default=[0.24703223, 0.24348513, 0.26158784])
+    pc.add_argument("--sample_dir", default=None)
+    pc.add_argument("--skip_generate", action="store_true", help="score an existing --sample_dir")
+    pc.add_argument("--features", default=None)
+    pc.set_defaults(fn=cmd_score)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,73 @@ class TestPosthocEMAEndToEnd:
         x = jnp.zeros((2, 8, 8, 1))
         y = model.apply(variables, x, jnp.ones((2,)), jnp.asarray([0, 1]))
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestEvalFidCLI:
+    def test_stats_and_score(self, tmp_path):
+        """Drive the eval_fid CLI: dataset stats from synthetic CIFAR files,
+        then score an existing sample directory with --skip_generate."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
+        import eval_fid
+
+        from tests.test_datamodules import cifar_dir  # fixture fn, reuse writer
+        # build synthetic cifar files inline (fixture needs pytest wiring)
+        import pickle
+        rng = np.random.default_rng(0)
+        base = tmp_path / "cifar10" / "cifar-10-batches-py"
+        base.mkdir(parents=True)
+        for i in range(1, 6):
+            data = rng.integers(0, 256, (20, 3 * 32 * 32), dtype=np.uint8)
+            with open(base / f"data_batch_{i}", "wb") as f:
+                pickle.dump({b"data": data, b"labels": list(rng.integers(0, 10, 20))}, f)
+        with open(base / "test_batch", "wb") as f:
+            pickle.dump({b"data": data, b"labels": list(rng.integers(0, 10, 20))}, f)
+
+        stats = tmp_path / "stats.npz"
+        eval_fid.main([
+            "stats", "--data-dir", str(tmp_path / "cifar10"),
+            "--out", str(stats), "--features", "tests.fake_features",
+            "--batch-size", "32",
+        ])
+        assert stats.exists()
+
+        # sample dir = the same distribution -> small FID
+        from PIL import Image
+        sdir = tmp_path / "samples"
+        sdir.mkdir()
+        imgs = rng.integers(0, 256, (40, 32, 32, 3), dtype=np.uint8)
+        for i, im in enumerate(imgs):
+            Image.fromarray(im).save(sdir / f"{i}.png")
+        import io
+        from contextlib import redirect_stdout
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            eval_fid.main([
+                "score", "--ckpt_path", "unused", "--stats", str(stats),
+                "--sample_dir", str(sdir), "--skip_generate",
+                "--features", "tests.fake_features", "--batch_size", "32",
+            ])
+        out = buf.getvalue()
+        assert "FID:" in out
+        fid_same = float(out.strip().split("FID:")[1])
+
+        # a shifted distribution must score much worse than the matched one
+        # (absolute values are noisy at 40 samples; the ordering is the test)
+        sdir2 = tmp_path / "samples_shifted"
+        sdir2.mkdir()
+        for i, im in enumerate(imgs):
+            Image.fromarray(np.clip(im.astype(int) + 100, 0, 255).astype(np.uint8)).save(
+                sdir2 / f"{i}.png"
+            )
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            eval_fid.main([
+                "score", "--ckpt_path", "unused", "--stats", str(stats),
+                "--sample_dir", str(sdir2), "--skip_generate",
+                "--features", "tests.fake_features", "--batch_size", "32",
+            ])
+        fid_shifted = float(buf2.getvalue().strip().split("FID:")[1])
+        assert fid_same < fid_shifted / 5, (fid_same, fid_shifted)
