@@ -233,9 +233,9 @@ class TestSolver:
             return jnp.zeros_like(x)
 
         solver.solve(denoise_fn, jnp.ones((1, 2, 2, 1)))
-        # traced calls: scan body traces once (2 calls) + final euler (1);
-        # semantically the scan executes 2*(n-1) + 1 = 2n-1 forwards.
-        assert count[0] == 3
+        # the half-step scan traces the model exactly ONCE (compile-time
+        # economy); semantically it executes 2*n - 1 forwards.
+        assert count[0] == 1
 
     def test_matches_reference_loop_semantics(self):
         """Compare the scanned solver against a straightforward python-loop
