@@ -129,3 +129,25 @@ def test_validation_and_best_checkpoint(tmp_path):
     trainer = make_trainer(tmp_path, spec, max_epochs=2)
     trainer.fit()
     assert trainer.ckpt.best_step is not None
+
+
+def test_preemption_interrupt_checkpoints_and_stops(tmp_path):
+    """A SIGTERM-style interrupt stops training at the next step boundary and
+    the final checkpoint allows resume (auto-resume on preemption)."""
+    from tinyedm_tpu.training.callbacks import Callback
+
+    class InterruptAfterFirstEpoch(Callback):
+        def on_train_epoch_end(self, trainer) -> None:
+            trainer._interrupted = True
+
+    spec = tiny_spec(use_ema=False)
+    trainer = make_trainer(
+        tmp_path, spec, max_epochs=5, callbacks=[InterruptAfterFirstEpoch()]
+    )
+    trainer.fit()
+    assert trainer.global_step == 4  # stopped after epoch 0 (4 steps), not 20
+    assert trainer.ckpt.latest_step == 4
+
+    trainer2 = make_trainer(tmp_path, tiny_spec(use_ema=False), max_epochs=2)
+    trainer2.fit(resume=True)
+    assert trainer2.global_step == 8

@@ -19,6 +19,7 @@ around ONE jitted train step. Design points:
 
 from __future__ import annotations
 
+import signal
 import time
 from pathlib import Path
 from typing import Optional, Sequence
@@ -98,6 +99,24 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.epoch = 0
         self.global_step = 0
+        # preemption safety (TPU pools send SIGTERM): finish the current
+        # epoch's step, checkpoint, exit cleanly; `--resume` continues.
+        # The reference has no preemption handling (SURVEY.md §5) — recovery
+        # there is manual resume only.
+        self._interrupted = False
+
+    def _install_signal_handlers(self) -> None:
+        def handler(signum, frame):
+            self.logger.log_text(
+                "trainer", f"signal {signum} received - checkpointing and exiting"
+            )
+            self._interrupted = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:  # not the main thread (tests)
+                return
 
     # ------------------------------------------------------------------ setup
     def _init_state(self) -> TrainState:
@@ -133,10 +152,11 @@ class Trainer:
             self.state = self._init_state()
 
         base_rng = jax.random.PRNGKey(self.seed)
+        self._install_signal_handlers()
         for cb in self.callbacks:
             cb.on_train_start(self)
 
-        while self.epoch < self.max_epochs:
+        while self.epoch < self.max_epochs and not self._interrupted:
             t_epoch = time.time()
             n_samples = 0
             last_metrics = None
@@ -155,6 +175,8 @@ class Trainer:
                 last_metrics = metrics
                 if self.global_step % self.log_every_n_steps == 0:
                     self._flush_metrics(metrics)
+                if self._interrupted:
+                    break
             dt = time.time() - t_epoch
             if last_metrics is not None:
                 self.logger.log_metrics(
