@@ -230,7 +230,9 @@ class Trainer:
         """Run the ODE sampler with current (or EMA) weights; jitted per
         (solver config, conditional, use_ema) and cached."""
         assert self.state is not None
-        key = (id(solver), class_labels is not None, use_ema, ema_index)
+        # DeterministicSolver is a frozen dataclass -> hashable value key
+        # (id() keys can be recycled for short-lived solver objects)
+        key = (solver, class_labels is not None, use_ema, ema_index)
         if key not in self._solve_cache:
             # gradient-free path: Pallas attention kernel on TPU
             model = self.spec.build_model(inference_fast=True)
