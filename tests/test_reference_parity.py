@@ -1,0 +1,221 @@
+"""Numerical parity against the actual reference implementation.
+
+Loads the reference's pure-torch networks.py standalone (no lightning/hydra
+needed), converts THIS framework's randomly-initialized parameters into the
+torch module's layout, and compares forward outputs element-wise. This is
+the strongest available evidence that the TPU-native re-design computes the
+same function — layouts (NHWC vs NCHW, HWIO vs OIHW, qkv channel
+factorization) differ by construction, so the converter is part of what's
+under test.
+
+Skipped when /root/reference is not mounted (end-user installs).
+"""
+
+import importlib.util
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference/src/tinyedm/networks.py")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref():
+    spec = importlib.util.spec_from_file_location("ref_networks", REF)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def t(x):  # numpy -> torch
+    return torch.from_numpy(np.asarray(x, np.float32))
+
+
+def conv_to_torch(w_hwio):
+    return t(np.transpose(np.asarray(w_hwio), (3, 2, 0, 1)))  # HWIO -> OIHW
+
+
+def qkv_to_torch(w_hwio, heads):
+    """My qkv out-channel factorization is (3, heads, hd); the reference
+    views the conv output as (heads, hd, 3) (networks.py:194). Permute the
+    output-channel axis accordingly."""
+    w = np.asarray(w_hwio)  # (1,1,c,3c)
+    c3 = w.shape[-1]
+    c = c3 // 3
+    hd = c // heads
+    w = w.reshape(w.shape[0], w.shape[1], w.shape[2], 3, heads, hd)
+    w = w.transpose(0, 1, 2, 4, 5, 3)  # -> (.., heads, hd, 3)
+    w = w.reshape(w.shape[0], w.shape[1], w.shape[2], c3)
+    return conv_to_torch(w)
+
+
+class TestCosineAttentionParity:
+    def test_forward_matches(self, ref):
+        from tinyedm_tpu.models.layers import CosineAttention
+
+        heads, c = 4, 64
+        mine = CosineAttention(num_heads=heads)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, c))
+        variables = mine.init(jax.random.PRNGKey(1), x)
+        out_mine = np.asarray(mine.apply(variables, x))
+
+        theirs = ref.CosineAttention(c, heads).eval()
+        sd = {
+            "qkv_conv.weight": qkv_to_torch(variables["params"]["qkv_conv"]["w"], heads),
+            "out_conv.weight": conv_to_torch(variables["params"]["out_conv"]["w"]),
+        }
+        theirs.load_state_dict(sd)
+        with torch.no_grad():
+            out_ref = theirs(t(np.asarray(x).transpose(0, 3, 1, 2)))
+        out_ref = out_ref.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(out_mine, out_ref, rtol=1e-4, atol=1e-5)
+
+
+def _convert_denoiser_params(params, topology, num_heads):
+    """My flax param tree -> reference Denoiser state_dict."""
+    sd = {}
+    sd["conv_in.weight"] = conv_to_torch(params["conv_in"]["w"])
+    sd["conv_out.weight"] = conv_to_torch(params["conv_out"]["w"])
+    sd["gain_out"] = t(params["gain_out"])
+
+    def block(side, i, p, has_skip):
+        prefix = f"{side}_blocks.{i}"
+        if "conv_1x1" in p:
+            sd[f"{prefix}.conv_1x1.weight"] = conv_to_torch(p["conv_1x1"]["w"])
+        sd[f"{prefix}.conv_3x3_1.weight"] = conv_to_torch(p["conv_3x3_1"]["w"])
+        sd[f"{prefix}.conv_3x3_2.weight"] = conv_to_torch(p["conv_3x3_2"]["w"])
+        sd[f"{prefix}.embed.weight"] = t(p["embed"]["w"])
+        sd[f"{prefix}.gain"] = t(p["gain"])
+        if "attention" in p:
+            sd[f"{prefix}.attention.qkv_conv.weight"] = qkv_to_torch(
+                p["attention"]["qkv_conv"]["w"], num_heads
+            )
+            sd[f"{prefix}.attention.out_conv.weight"] = conv_to_torch(
+                p["attention"]["out_conv"]["w"]
+            )
+        if "cat_factor" in p:
+            sd[f"{prefix}.cat_factor.layer1.weight"] = conv_to_torch(
+                p["cat_factor"]["WNConv_0"]["w"]
+            )
+            sd[f"{prefix}.cat_factor.layer2.weight"] = conv_to_torch(
+                p["cat_factor"]["WNConv_1"]["w"]
+            )
+
+    for i in range(len(topology["encoder_block_types"])):
+        block("encoder", i, params[f"encoder_blocks_{i}"], False)
+    for i in range(len(topology["decoder_block_types"])):
+        block("decoder", i, params[f"decoder_blocks_{i}"], False)
+    return sd
+
+
+TOPOLOGY = dict(
+    encoder_block_types=("Enc", "EncD", "EncA"),
+    decoder_block_types=("DecA", "Dec", "DecU", "Dec", "Dec"),
+    encoder_out_channels=(16, 32, 32),
+    decoder_out_channels=(32, 32, 32, 16, 16),
+    skip_connections=(False, True, True, True, True),
+)
+
+
+class TestDenoiserParity:
+    def test_full_unet_forward_matches(self, ref):
+        """The whole U-Net: same weights, same (noisy, sigma, emb) inputs,
+        element-wise equal outputs across the two frameworks."""
+        from tinyedm_tpu.models.unet import Denoiser
+
+        emb_dim, heads = 32, 2
+        mine = Denoiser(
+            in_channels=3,
+            out_channels=3,
+            embedding_dim=emb_dim,
+            num_heads=heads,
+            sigma_data=0.5,
+            **TOPOLOGY,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+        sigma = jnp.asarray([0.4, 2.5])
+        emb = jax.random.normal(jax.random.PRNGKey(1), (2, emb_dim))
+        variables = mine.init(jax.random.PRNGKey(2), x, sigma, emb)
+        out_mine = np.asarray(mine.apply(variables, x, sigma, emb, train=False))
+
+        theirs = ref.Denoiser(
+            in_channels=3,
+            out_channels=3,
+            embedding_dim=emb_dim,
+            num_heads=heads,
+            sigma_data=0.5,
+            **TOPOLOGY,
+        ).eval()
+        sd = _convert_denoiser_params(variables["params"], TOPOLOGY, heads)
+        missing, unexpected = theirs.load_state_dict(sd, strict=False)
+        assert not unexpected, unexpected
+        assert not missing, missing
+        with torch.no_grad():
+            out_ref = theirs(
+                t(np.asarray(x).transpose(0, 3, 1, 2)),
+                t(np.asarray(sigma)),
+                t(np.asarray(emb)),
+            )
+        out_ref = out_ref.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(out_mine, out_ref, rtol=2e-4, atol=2e-5)
+
+    def test_param_count_matches_reference(self, ref):
+        """Same constructor args -> same total parameter count."""
+        from tinyedm_tpu.models.unet import Denoiser
+
+        mine = Denoiser(
+            in_channels=3, out_channels=3, embedding_dim=32, num_heads=2,
+            sigma_data=0.5, **TOPOLOGY,
+        )
+        v = jax.eval_shape(
+            lambda: mine.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros((1, 8, 8, 3)), jnp.ones((1,)), jnp.zeros((1, 32)),
+            )
+        )
+        n_mine = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(v["params"]))
+        theirs = ref.Denoiser(
+            in_channels=3, out_channels=3, embedding_dim=32, num_heads=2,
+            sigma_data=0.5, **TOPOLOGY,
+        )
+        n_ref = sum(p.numel() for p in theirs.parameters())
+        assert n_mine == n_ref, (n_mine, n_ref)
+
+
+class TestEmbeddingParity:
+    def test_embedding_matches(self, ref):
+        """Embedding path: copy my fourier constants + linear weights into the
+        reference module; outputs must match (incl. the mp_add class mix)."""
+        from tinyedm_tpu.models.layers import Embedding
+
+        mine = Embedding(fourier_dim=16, embedding_dim=32, num_classes=10)
+        sigma = jnp.asarray([0.3, 1.7])
+        labels = jnp.asarray([2, 9])
+        variables = mine.init(jax.random.PRNGKey(0), sigma, labels)
+        four_mine, emb_mine = mine.apply(variables, sigma, labels)
+
+        theirs = ref.Embedding(fourier_dim=16, embedding_dim=32, num_classes=10).eval()
+        consts = variables["constants"]["fourier_embed"]
+        p = variables["params"]
+        sd = {
+            "fourier_embed.freqs": t(consts["freqs"]),
+            "fourier_embed.phases": t(consts["phases"]),
+            "sigma_embed.weight": t(p["sigma_embed"]["w"]),
+            "class_embed.linear.weight": t(p["class_embed"]["WNLinear_0"]["w"]),
+        }
+        theirs.load_state_dict(sd)
+        with torch.no_grad():
+            four_ref, emb_ref = theirs(t(np.asarray(sigma)), torch.tensor([2, 9]))
+        np.testing.assert_allclose(
+            np.asarray(four_mine), four_ref.numpy(), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(emb_mine), emb_ref.numpy(), rtol=1e-4, atol=1e-5
+        )
