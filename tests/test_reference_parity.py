@@ -219,3 +219,37 @@ class TestEmbeddingParity:
         np.testing.assert_allclose(
             np.asarray(emb_mine), emb_ref.numpy(), rtol=1e-4, atol=1e-5
         )
+
+
+class TestSolverParity:
+    def test_heun_solver_matches_reference(self):
+        """Same nontrivial denoiser function driven by both solvers: the
+        reference python loop (solvers.py) and this framework's half-step
+        lax.scan must integrate to the same samples."""
+        ref_solvers_path = Path("/root/reference/src/tinyedm/solvers.py")
+        spec = importlib.util.spec_from_file_location("ref_solvers", ref_solvers_path)
+        rs = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(rs)
+
+        from tinyedm_tpu.diffusion.solver import DeterministicSolver
+
+        def f(x, s):  # x: (b,h,w,c) array-like, s: (b,) — framework-agnostic
+            return x * 0.85 / (1.0 + s.reshape(-1, 1, 1, 1) ** 0.5)
+
+        class TorchModel:
+            def __call__(self, x, t0, labels=None):
+                s = t0.expand(x.shape[0]) if t0.ndim == 0 else t0
+                return torch.from_numpy(
+                    np.asarray(f(x.numpy(), s.numpy()), np.float32)
+                )
+
+        x0 = np.random.default_rng(0).standard_normal((2, 4, 4, 3)).astype(np.float32)
+
+        ref_solver = rs.DeterministicSolver(num_steps=7)
+        out_ref = ref_solver.solve(TorchModel(), torch.from_numpy(x0)).numpy()
+
+        mine = DeterministicSolver(num_steps=7)
+        out_mine = np.asarray(
+            mine.solve(lambda x, s, l: f(x, s), jnp.asarray(x0))
+        )
+        np.testing.assert_allclose(out_mine, out_ref, rtol=1e-4, atol=1e-5)
