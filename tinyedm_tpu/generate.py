@@ -46,10 +46,12 @@ def generate(
     std=CIFAR10_STD,
     solver_dtype: str | None = None,
     seed: int = 0,
+    ckpt_step: int | None = None,
+    ema_index: int = 0,
 ) -> None:
     tune_for_tpu()
     spec, model, variables, _ = load_edm_from_checkpoint(
-        ckpt_path, load_ema=load_ema
+        ckpt_path, step=ckpt_step, load_ema=load_ema, ema_index=ema_index
     )
     model = spec.build_model(inference_fast=True)  # Pallas attention on TPU
     if load_ema:
@@ -116,6 +118,8 @@ def main(argv=None) -> None:
     parser.add_argument("--std", type=float, nargs="+", default=list(CIFAR10_STD))
     parser.add_argument("--solver_dtype", type=str, default=None, choices=[None, "float32", "bfloat16", "float64"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ckpt_step", type=int, default=None, help="checkpoint step (default: latest)")
+    parser.add_argument("--ema_index", type=int, default=0, help="EMA profile index for multi-profile checkpoints")
     args = parser.parse_args(argv)
     generate(
         args.ckpt_path,
@@ -132,6 +136,8 @@ def main(argv=None) -> None:
         tuple(args.std),
         args.solver_dtype,
         args.seed,
+        args.ckpt_step,
+        args.ema_index,
     )
 
 
