@@ -51,6 +51,12 @@ class DeterministicSolver:
         if self.dtype == "bfloat16":
             return jnp.bfloat16
         if self.dtype == "float64":
+            if not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "solver dtype float64 requires jax_enable_x64 "
+                    "(JAX silently downcasts otherwise): "
+                    "jax.config.update('jax_enable_x64', True)"
+                )
             return jnp.float64
         if self.dtype == "float16":
             return jnp.float16
