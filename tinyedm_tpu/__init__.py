@@ -7,7 +7,7 @@ including the reference's `PreditionWriter` [sic] spelling).
 
 from tinyedm_tpu.diffusion.diffuser import Diffuser
 from tinyedm_tpu.diffusion.loss import WeightedMeanSquaredError
-from tinyedm_tpu.diffusion.solver import DeterministicSolver
+from tinyedm_tpu.diffusion.solver import DeterministicSolver, StochasticSolver
 from tinyedm_tpu.models.edm import EDM
 from tinyedm_tpu.models.layers import (
     ClassEmbedding,
@@ -37,6 +37,7 @@ __all__ = [
     "PreditionWriter",
     "LatentsGenerateCallback",
     "DeterministicSolver",
+    "StochasticSolver",
     "WeightedMeanSquaredError",
     "Denoiser",
     "DenoiserWrapper",

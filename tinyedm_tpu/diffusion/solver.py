@@ -11,6 +11,7 @@ fully on-device; no per-step host round-trips.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Optional
 
 import jax
@@ -127,4 +128,97 @@ class DeterministicSolver:
 
         init = (x, x, jnp.zeros_like(x))
         (x, _, _), _ = jax.lax.scan(half_step, init, tables)
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class StochasticSolver:
+    """EDM stochastic sampler (Karras et al. 2022, Algorithm 2).
+
+    Beyond the reference (which ships only the deterministic solver): per
+    step, noise is first injected — t_hat = (1 + gamma_i) t_i with
+    gamma_i = min(S_churn/N, sqrt(2)-1) when S_tmin <= t_i <= S_tmax else 0,
+    x_hat = x + sqrt(t_hat^2 - t_i^2) * S_noise * eps — then a Heun step
+    integrates from (x_hat, t_hat) to t_{i+1}. Same half-step lax.scan
+    design as DeterministicSolver (one model trace).
+    """
+
+    num_steps: int = 18
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    rho: float = 7.0
+    S_churn: float = 0.0
+    S_min: float = 0.0
+    S_max: float = float("inf")
+    S_noise: float = 1.0
+    dtype: Optional[str] = None
+
+    @property
+    def jnp_dtype(self):
+        return DeterministicSolver(dtype=self.dtype).jnp_dtype
+
+    @property
+    def t_steps(self) -> np.ndarray:
+        return karras_sigma_schedule(
+            self.num_steps, self.sigma_min, self.sigma_max, self.rho
+        )
+
+    def solve(
+        self,
+        denoise_fn: DenoiseFn,
+        x0: jnp.ndarray,
+        class_labels: Optional[jnp.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        dtype = self.jnp_dtype
+        b = x0.shape[0]
+        n = self.num_steps
+        t = self.t_steps
+
+        gamma_max = math.sqrt(2.0) - 1.0
+        gamma = min(self.S_churn / n, gamma_max) if self.S_churn > 0 else 0.0
+
+        sig, tt0, tt1, phase, churn = [], [], [], [], []
+        for i in range(n):
+            t_i = float(t[i])
+            g = gamma if (self.S_min <= t_i <= self.S_max and t_i > 0) else 0.0
+            t_hat = t_i * (1.0 + g)
+            # predict half-step: inject churn noise, evaluate D at t_hat
+            sig.append(t_hat)
+            tt0.append(t_hat); tt1.append(t[i + 1]); phase.append(0)
+            churn.append(math.sqrt(max(t_hat**2 - t_i**2, 0.0)) * self.S_noise)
+            if i < n - 1:  # correct half-step: no churn
+                sig.append(t[i + 1])
+                tt0.append(t_hat); tt1.append(t[i + 1]); phase.append(1)
+                churn.append(0.0)
+        tables = (
+            jnp.asarray(sig, dtype),
+            jnp.asarray(tt0, dtype),
+            jnp.asarray(tt1, dtype),
+            jnp.asarray(phase, jnp.int32),
+            jnp.asarray(churn, dtype),
+        )
+
+        x = x0.astype(dtype) * jnp.asarray(t[0], dtype)
+        keys = jax.random.split(rng, len(sig))
+
+        def half_step(carry, inp):
+            x_cur, x_base, dx_base = carry
+            sigma_t, t0, t1, ph, churn, key = inp
+            is_predict = ph == 0
+            eps = jax.random.normal(key, x_cur.shape, dtype)
+            x_in = x_cur + churn * eps  # no-op on correct steps (churn = 0)
+            sigma = jnp.full((b,), sigma_t, dtype=jnp.float32)
+            d = denoise_fn(x_in, sigma, class_labels).astype(dtype)
+            dx = (x_in - d) / sigma_t.astype(dtype)
+            x_pred = x_in + (t1 - t0) * dx
+            x_corr = x_base + (t1 - t0) * 0.5 * (dx_base + dx)
+            x_next = jnp.where(is_predict, x_pred, x_corr)
+            x_base = jnp.where(is_predict, x_in, x_next)
+            return (x_next, x_base, dx), ()
+
+        init = (x, x, jnp.zeros_like(x))
+        (x, _, _), _ = jax.lax.scan(half_step, init, tables + (keys,))
         return x

@@ -48,6 +48,10 @@ def generate(
     seed: int = 0,
     ckpt_step: int | None = None,
     ema_index: int = 0,
+    s_churn: float = 0.0,
+    s_noise: float = 1.0,
+    s_min: float = 0.0,
+    s_max: float = float("inf"),
 ) -> None:
     tune_for_tpu()
     spec, model, variables, _ = load_edm_from_checkpoint(
@@ -56,7 +60,16 @@ def generate(
     model = spec.build_model(inference_fast=True)  # Pallas attention on TPU
     if load_ema:
         print("EMA weights loaded.")
-    solver = DeterministicSolver(num_steps=num_steps, dtype=solver_dtype)
+    stochastic = s_churn > 0
+    if stochastic:
+        from tinyedm_tpu.diffusion.solver import StochasticSolver
+
+        solver = StochasticSolver(
+            num_steps=num_steps, dtype=solver_dtype,
+            S_churn=s_churn, S_noise=s_noise, S_min=s_min, S_max=s_max,
+        )
+    else:
+        solver = DeterministicSolver(num_steps=num_steps, dtype=solver_dtype)
     datamodule = RandomNoiseDataModule(
         batch_size=batch_size,
         num_workers=num_workers,
@@ -70,11 +83,14 @@ def generate(
     conditional = model.conditional
 
     @jax.jit
-    def sample(x0, labels):
+    def sample(x0, labels, churn_key):
         def denoise_fn(x, sigma, lab):
             return model.apply(variables, x, sigma, lab)
 
-        return solver.solve(denoise_fn, x0, labels if conditional else None)
+        lab = labels if conditional else None
+        if stochastic:
+            return solver.solve(denoise_fn, x0, lab, rng=churn_key)
+        return solver.solve(denoise_fn, x0, lab)
 
     t0 = time.time()
     done = 0
@@ -84,13 +100,18 @@ def generate(
 
     pool = ThreadPoolExecutor(max_workers=8)
     pending = []
-    for noise, labels, indices in datamodule.predict_batches():
+    churn_rng = jax.random.PRNGKey(seed ^ 0xC4A2)
+    for batch_idx, (noise, labels, indices) in enumerate(datamodule.predict_batches()):
         n = len(indices)
         if n < batch_size:  # pad the tail batch: one compiled shape only
             pad = batch_size - n
             noise = np.concatenate([noise, noise[:1].repeat(pad, 0)])
             labels = np.concatenate([labels, labels[:1].repeat(pad, 0)])
-        xT = sample(jnp.asarray(noise), jnp.asarray(labels))[:n]
+        xT = sample(
+            jnp.asarray(noise),
+            jnp.asarray(labels),
+            jax.random.fold_in(churn_rng, batch_idx),
+        )[:n]
         pending.append(pool.submit(writer.write_batch, np.asarray(xT), indices))
         done += n
         if done % (batch_size * 10) < batch_size:
@@ -120,6 +141,10 @@ def main(argv=None) -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ckpt_step", type=int, default=None, help="checkpoint step (default: latest)")
     parser.add_argument("--ema_index", type=int, default=0, help="EMA profile index for multi-profile checkpoints")
+    parser.add_argument("--S_churn", type=float, default=0.0, help=">0 enables the stochastic (churn) sampler")
+    parser.add_argument("--S_noise", type=float, default=1.0)
+    parser.add_argument("--S_min", type=float, default=0.0)
+    parser.add_argument("--S_max", type=float, default=float("inf"))
     args = parser.parse_args(argv)
     generate(
         args.ckpt_path,
@@ -138,6 +163,10 @@ def main(argv=None) -> None:
         args.seed,
         args.ckpt_step,
         args.ema_index,
+        args.S_churn,
+        args.S_noise,
+        args.S_min,
+        args.S_max,
     )
 
 
