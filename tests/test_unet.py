@@ -195,3 +195,30 @@ def test_edm_model_forward():
     )
     assert denoised.shape == x.shape
     assert u.shape == (2,)
+
+
+def test_remat_identical_outputs_and_grads():
+    """remat=True must change memory behavior only: outputs and gradients
+    are identical to the non-remat model with the same params."""
+    kwargs = dict(
+        in_channels=3, out_channels=3, embedding_dim=32, num_heads=2,
+        sigma_data=0.5, **tiny_topology_valid(),
+    )
+    m1 = Denoiser(**kwargs)
+    m2 = Denoiser(remat=True, **kwargs)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    sigma = jnp.asarray([0.5, 2.0])
+    emb = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    variables = m1.init(jax.random.PRNGKey(0), x, sigma, emb)
+
+    o1 = m1.apply(variables, x, sigma, emb)
+    o2 = m2.apply(variables, x, sigma, emb)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6)
+
+    def loss(m, p):
+        return jnp.mean(m.apply({"params": p}, x, sigma, emb) ** 2)
+
+    g1 = jax.grad(lambda p: loss(m1, p))(variables["params"])
+    g2 = jax.grad(lambda p: loss(m2, p))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

@@ -52,7 +52,7 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, embedding: jnp.ndarray, *, train: bool = False
+        self, x: jnp.ndarray, embedding: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
         if self.down:
             x = downsample_2x(x)
@@ -112,7 +112,6 @@ class DecoderBlock(nn.Module):
         x: jnp.ndarray,
         embedding: jnp.ndarray,
         skip: Optional[jnp.ndarray] = None,
-        *,
         train: bool = False,
     ) -> jnp.ndarray:
         if skip is not None:

@@ -56,6 +56,10 @@ class Denoiser(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas_attention: bool = False
     mod_fp32: bool = True  # see blocks.py: fp32 modulation-island semantics
+    # rematerialize each block in the backward pass (jax.checkpoint): trades
+    # ~33% extra forward FLOPs for O(depth) less activation memory — for
+    # batch/resolution scales where activations would not fit HBM
+    remat: bool = False
 
     def setup(self) -> None:
         validate_topology(
@@ -88,7 +92,12 @@ class Denoiser(nn.Module):
             zip(self.encoder_block_types, self.encoder_out_channels)
         ):
             down, attn = parse_block_type(btype)
-            x = EncoderBlock(
+            enc_cls = (
+                nn.remat(EncoderBlock, static_argnums=(3,))
+                if self.remat
+                else EncoderBlock
+            )
+            x = enc_cls(
                 out_channels=ch,
                 down=down,
                 attention=attn,
@@ -99,7 +108,7 @@ class Denoiser(nn.Module):
                 use_pallas_attention=self.use_pallas_attention,
                 mod_fp32=self.mod_fp32,
                 name=f"encoder_blocks_{i}",
-            )(x, embedding, train=train)
+            )(x, embedding, train)
             skips.append(x)
 
         for i, (btype, ch, has_skip) in enumerate(
@@ -111,7 +120,12 @@ class Denoiser(nn.Module):
         ):
             up, attn = parse_block_type(btype)
             skip = skips.pop() if has_skip else None
-            x = DecoderBlock(
+            dec_cls = (
+                nn.remat(DecoderBlock, static_argnums=(4,))
+                if self.remat
+                else DecoderBlock
+            )
+            x = dec_cls(
                 out_channels=ch,
                 up=up,
                 attention=attn,
@@ -122,7 +136,7 @@ class Denoiser(nn.Module):
                 use_pallas_attention=self.use_pallas_attention,
                 mod_fp32=self.mod_fp32,
                 name=f"decoder_blocks_{i}",
-            )(x, embedding, skip, train=train)
+            )(x, embedding, skip, train)
 
         gain_out = self.param("gain_out", nn.initializers.zeros, ())
         out = WNConv(self.out_channels, 1, dtype=self.dtype, name="conv_out")(x)
