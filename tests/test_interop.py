@@ -1,0 +1,149 @@
+"""Weight-interop tests: roundtrips and forward parity through the actual
+reference modules (loaded standalone from /root/reference)."""
+
+import importlib.util
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyedm_tpu.models.edm import EDM
+from tinyedm_tpu.models.layers import Embedding
+from tinyedm_tpu.models.unet import Denoiser
+from tinyedm_tpu.utils import interop
+
+REF = Path("/root/reference/src/tinyedm/networks.py")
+
+TOPOLOGY = dict(
+    encoder_block_types=("Enc", "EncD", "EncA"),
+    decoder_block_types=("DecA", "Dec", "DecU", "Dec", "Dec"),
+    encoder_out_channels=(16, 32, 32),
+    decoder_out_channels=(32, 32, 32, 16, 16),
+    skip_connections=(False, True, True, True, True),
+)
+
+
+def small_spec():
+    from tinyedm_tpu.training.experiment import EDMSpec
+    from tinyedm_tpu.diffusion.diffuser import Diffuser
+
+    return EDMSpec(
+        diffuser=Diffuser(-1.2, 1.2),
+        embedding=Embedding(fourier_dim=16, embedding_dim=32, num_classes=10),
+        denoiser=Denoiser(
+            in_channels=3, out_channels=3, embedding_dim=32, num_heads=2,
+            sigma_data=0.5, **TOPOLOGY,
+        ),
+        use_uncertainty=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def edm_variables():
+    spec = small_spec()
+    model = spec.build_model()
+    x = jnp.zeros((2, 8, 8, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, x, jnp.ones((2,)),
+        jnp.asarray([0, 1]), method=EDM.denoise_with_aux,
+    )
+    return spec, model, variables
+
+
+def test_roundtrip_mine_torch_mine(edm_variables):
+    """params -> torch state_dict -> params is exact."""
+    spec, model, variables = edm_variables
+    sd = interop.edm_params_to_torch_state_dict(spec, variables)
+    back = interop.edm_params_from_torch_state_dict(spec, sd)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(variables["params"])[0],
+        jax.tree_util.tree_flatten_with_path(back["params"])[0],
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(variables["constants"]["embedding"]["fourier_embed"]["freqs"]),
+        np.asarray(back["constants"]["embedding"]["fourier_embed"]["freqs"]),
+    )
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+def test_imported_reference_weights_forward_parity(edm_variables):
+    """Export to a real reference Denoiser module, load there, run both —
+    proves the exported state_dict is genuinely loadable + equivalent."""
+    torch = pytest.importorskip("torch")
+    spec, model, variables = edm_variables
+    ref_spec = importlib.util.spec_from_file_location("ref_networks", REF)
+    ref = importlib.util.module_from_spec(ref_spec)
+    ref_spec.loader.exec_module(ref)
+
+    sd = interop.denoiser_params_to_torch(
+        variables["params"]["denoiser"], spec.denoiser
+    )
+    theirs = ref.Denoiser(
+        in_channels=3, out_channels=3, embedding_dim=32, num_heads=2,
+        sigma_data=0.5, **TOPOLOGY,
+    ).eval()
+    missing, unexpected = theirs.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, strict=True
+    ), None
+    x = np.random.default_rng(0).standard_normal((2, 8, 8, 3)).astype(np.float32)
+    sigma = np.asarray([0.7, 1.4], np.float32)
+    emb = np.random.default_rng(1).standard_normal((2, 32)).astype(np.float32)
+    mine = np.asarray(
+        model.denoiser.apply(
+            {"params": variables["params"]["denoiser"]},
+            jnp.asarray(x), jnp.asarray(sigma), jnp.asarray(emb),
+        )
+    )
+    with torch.no_grad():
+        out_ref = theirs(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(sigma),
+            torch.from_numpy(emb),
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(mine, out_ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+def test_import_torch_checkpoint_cli(tmp_path, edm_variables):
+    """Full import flow: synthesize a lightning-style .ckpt whose state_dict
+    comes from real reference modules, import via the CLI path, and generate
+    with the result."""
+    torch = pytest.importorskip("torch")
+    import yaml
+
+    spec, model, variables = edm_variables
+    # build a torch-side state dict from our variables (already proven
+    # loadable into the reference modules above)
+    sd_np = interop.edm_params_to_torch_state_dict(spec, variables)
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd_np.items()}
+    ckpt = {"state_dict": sd, "global_step": 1234}
+    torch.save(ckpt, tmp_path / "ref.ckpt")
+
+    # a minimal config file describing the same architecture
+    from tinyedm_tpu.config.registry import deinstantiate
+
+    with open(tmp_path / "config.yaml", "w") as f:
+        yaml.safe_dump({"model": deinstantiate(spec)}, f)
+
+    interop.import_torch_checkpoint(
+        str(tmp_path / "ref.ckpt"), str(tmp_path / "config.yaml"),
+        str(tmp_path / "imported"),
+    )
+
+    from tinyedm_tpu.training.checkpoint import load_edm_from_checkpoint
+
+    spec2, model2, variables2, state = load_edm_from_checkpoint(tmp_path / "imported")
+    assert int(state.step) == 1234
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 3))
+    out_a = model.apply(
+        {k: variables[k] for k in ("params", "constants")},
+        x, jnp.ones((2,)), jnp.asarray([3, 7]),
+    )
+    out_b = model2.apply(variables2, x, jnp.ones((2,)), jnp.asarray([3, 7]))
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-6
+    )

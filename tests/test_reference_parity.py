@@ -78,43 +78,6 @@ class TestCosineAttentionParity:
         np.testing.assert_allclose(out_mine, out_ref, rtol=1e-4, atol=1e-5)
 
 
-def _convert_denoiser_params(params, topology, num_heads):
-    """My flax param tree -> reference Denoiser state_dict."""
-    sd = {}
-    sd["conv_in.weight"] = conv_to_torch(params["conv_in"]["w"])
-    sd["conv_out.weight"] = conv_to_torch(params["conv_out"]["w"])
-    sd["gain_out"] = t(params["gain_out"])
-
-    def block(side, i, p, has_skip):
-        prefix = f"{side}_blocks.{i}"
-        if "conv_1x1" in p:
-            sd[f"{prefix}.conv_1x1.weight"] = conv_to_torch(p["conv_1x1"]["w"])
-        sd[f"{prefix}.conv_3x3_1.weight"] = conv_to_torch(p["conv_3x3_1"]["w"])
-        sd[f"{prefix}.conv_3x3_2.weight"] = conv_to_torch(p["conv_3x3_2"]["w"])
-        sd[f"{prefix}.embed.weight"] = t(p["embed"]["w"])
-        sd[f"{prefix}.gain"] = t(p["gain"])
-        if "attention" in p:
-            sd[f"{prefix}.attention.qkv_conv.weight"] = qkv_to_torch(
-                p["attention"]["qkv_conv"]["w"], num_heads
-            )
-            sd[f"{prefix}.attention.out_conv.weight"] = conv_to_torch(
-                p["attention"]["out_conv"]["w"]
-            )
-        if "cat_factor" in p:
-            sd[f"{prefix}.cat_factor.layer1.weight"] = conv_to_torch(
-                p["cat_factor"]["WNConv_0"]["w"]
-            )
-            sd[f"{prefix}.cat_factor.layer2.weight"] = conv_to_torch(
-                p["cat_factor"]["WNConv_1"]["w"]
-            )
-
-    for i in range(len(topology["encoder_block_types"])):
-        block("encoder", i, params[f"encoder_blocks_{i}"], False)
-    for i in range(len(topology["decoder_block_types"])):
-        block("decoder", i, params[f"decoder_blocks_{i}"], False)
-    return sd
-
-
 TOPOLOGY = dict(
     encoder_block_types=("Enc", "EncD", "EncA"),
     decoder_block_types=("DecA", "Dec", "DecU", "Dec", "Dec"),
@@ -153,7 +116,10 @@ class TestDenoiserParity:
             sigma_data=0.5,
             **TOPOLOGY,
         ).eval()
-        sd = _convert_denoiser_params(variables["params"], TOPOLOGY, heads)
+        from tinyedm_tpu.utils.interop import denoiser_params_to_torch
+
+        sd_np = denoiser_params_to_torch(variables["params"], mine)
+        sd = {k: t(v) for k, v in sd_np.items()}
         missing, unexpected = theirs.load_state_dict(sd, strict=False)
         assert not unexpected, unexpected
         assert not missing, missing

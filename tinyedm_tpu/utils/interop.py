@@ -1,0 +1,300 @@
+"""Weight interop with the torch reference implementation.
+
+Lets a reference user bring their trained checkpoints along: converts
+parameter trees between this framework's layout (NHWC/HWIO flax trees) and
+the reference's torch state_dict layout (NCHW/OIHW modules,
+src/tinyedm/networks.py) in both directions, for the Denoiser, the
+Embedding, the UncertaintyNet, and the full EDM composite (the
+``state_dict`` of the reference EDM LightningModule uses ``embedding.*`` /
+``denoiser.*`` / ``u.*`` prefixes, edm.py:128-146).
+
+Key layout facts encoded here (verified element-wise by
+tests/test_reference_parity.py and tests/test_interop.py):
+  * conv kernels: HWIO <-> OIHW transpose
+  * linear weights: (out, in) in both — no transpose
+  * qkv 1x1 conv: this framework factorizes the output channels as
+    (3, heads, head_dim); the reference views them as (heads, head_dim, 3)
+    (networks.py:194) — a pure permutation of output channels
+  * fourier freqs/phases are buffers here ('constants' collection)
+  * ScaleLong convs: layer1/layer2 <-> WNConv_0/WNConv_1
+  * UncertaintyNet: linear1/linear2 <-> WNLinear_0/WNLinear_1
+
+CLI: convert a torch checkpoint (a raw networks state_dict or a lightning
+checkpoint with ``state_dict``/``optimizer_states`` entries) into an orbax
+checkpoint this framework's generate.py consumes:
+
+    python -m tinyedm_tpu.utils.interop --torch_ckpt last.ckpt \
+        --config experiments/conf/cifar10.yaml --out_dir runs/imported
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_np(x) -> np.ndarray:
+    if hasattr(x, "detach"):  # torch tensor without importing torch
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, np.float32)
+
+
+# -------------------------------------------------------------- primitives
+
+
+def conv_to_torch(w_hwio) -> np.ndarray:
+    return np.transpose(_to_np(w_hwio), (3, 2, 0, 1))
+
+
+def conv_from_torch(w_oihw) -> np.ndarray:
+    return np.transpose(_to_np(w_oihw), (2, 3, 1, 0))
+
+
+def qkv_perm_to_torch(w_hwio, heads: int) -> np.ndarray:
+    w = _to_np(w_hwio)
+    c = w.shape[-1] // 3
+    hd = c // heads
+    w = w.reshape(*w.shape[:3], 3, heads, hd).transpose(0, 1, 2, 4, 5, 3)
+    return conv_to_torch(w.reshape(*w.shape[:3], 3 * c))
+
+
+def qkv_perm_from_torch(w_oihw, heads: int) -> np.ndarray:
+    w = conv_from_torch(w_oihw)  # HWIO with torch channel order (heads, hd, 3)
+    c = w.shape[-1] // 3
+    hd = c // heads
+    w = w.reshape(*w.shape[:3], heads, hd, 3).transpose(0, 1, 2, 5, 3, 4)
+    return w.reshape(*w.shape[:3], 3 * c)
+
+
+# ----------------------------------------------------------------- denoiser
+
+
+def _attention_to_torch(sd, prefix, p, heads):
+    sd[f"{prefix}.qkv_conv.weight"] = qkv_perm_to_torch(p["qkv_conv"]["w"], heads)
+    sd[f"{prefix}.out_conv.weight"] = conv_to_torch(p["out_conv"]["w"])
+
+
+def _attention_from_torch(sd, prefix, heads):
+    return {
+        "qkv_conv": {"w": qkv_perm_from_torch(sd[f"{prefix}.qkv_conv.weight"], heads)},
+        "out_conv": {"w": conv_from_torch(sd[f"{prefix}.out_conv.weight"])},
+    }
+
+
+def denoiser_params_to_torch(params: Mapping, denoiser) -> dict:
+    """flax Denoiser params -> reference Denoiser state_dict (numpy values)."""
+    heads = denoiser.num_heads
+    sd: dict[str, np.ndarray] = {
+        "conv_in.weight": conv_to_torch(params["conv_in"]["w"]),
+        "conv_out.weight": conv_to_torch(params["conv_out"]["w"]),
+        "gain_out": _to_np(params["gain_out"]),
+    }
+
+    def block(side, i, p):
+        prefix = f"{side}_blocks.{i}"
+        if "conv_1x1" in p:
+            sd[f"{prefix}.conv_1x1.weight"] = conv_to_torch(p["conv_1x1"]["w"])
+        sd[f"{prefix}.conv_3x3_1.weight"] = conv_to_torch(p["conv_3x3_1"]["w"])
+        sd[f"{prefix}.conv_3x3_2.weight"] = conv_to_torch(p["conv_3x3_2"]["w"])
+        sd[f"{prefix}.embed.weight"] = _to_np(p["embed"]["w"])
+        sd[f"{prefix}.gain"] = _to_np(p["gain"])
+        if "attention" in p:
+            _attention_to_torch(sd, f"{prefix}.attention", p["attention"], heads)
+        if "cat_factor" in p:
+            sd[f"{prefix}.cat_factor.layer1.weight"] = conv_to_torch(
+                p["cat_factor"]["WNConv_0"]["w"]
+            )
+            sd[f"{prefix}.cat_factor.layer2.weight"] = conv_to_torch(
+                p["cat_factor"]["WNConv_1"]["w"]
+            )
+
+    for i in range(len(denoiser.encoder_block_types)):
+        block("encoder", i, params[f"encoder_blocks_{i}"])
+    for i in range(len(denoiser.decoder_block_types)):
+        block("decoder", i, params[f"decoder_blocks_{i}"])
+    return sd
+
+
+def denoiser_params_from_torch(sd: Mapping, denoiser) -> dict:
+    """reference Denoiser state_dict -> flax Denoiser params."""
+    heads = denoiser.num_heads
+    out: dict[str, Any] = {
+        "conv_in": {"w": conv_from_torch(sd["conv_in.weight"])},
+        "conv_out": {"w": conv_from_torch(sd["conv_out.weight"])},
+        "gain_out": _to_np(sd["gain_out"]),
+    }
+
+    def block(side, i, btype):
+        prefix = f"{side}_blocks.{i}"
+        p: dict[str, Any] = {}
+        if f"{prefix}.conv_1x1.weight" in sd:
+            p["conv_1x1"] = {"w": conv_from_torch(sd[f"{prefix}.conv_1x1.weight"])}
+        p["conv_3x3_1"] = {"w": conv_from_torch(sd[f"{prefix}.conv_3x3_1.weight"])}
+        p["conv_3x3_2"] = {"w": conv_from_torch(sd[f"{prefix}.conv_3x3_2.weight"])}
+        p["embed"] = {"w": _to_np(sd[f"{prefix}.embed.weight"])}
+        p["gain"] = _to_np(sd[f"{prefix}.gain"])
+        if f"{prefix}.attention.qkv_conv.weight" in sd:
+            p["attention"] = _attention_from_torch(sd, f"{prefix}.attention", heads)
+        if f"{prefix}.cat_factor.layer1.weight" in sd:
+            p["cat_factor"] = {
+                "WNConv_0": {"w": conv_from_torch(sd[f"{prefix}.cat_factor.layer1.weight"])},
+                "WNConv_1": {"w": conv_from_torch(sd[f"{prefix}.cat_factor.layer2.weight"])},
+            }
+        out[f"{side}_blocks_{i}"] = p
+
+    for i, bt in enumerate(denoiser.encoder_block_types):
+        block("encoder", i, bt)
+    for i, bt in enumerate(denoiser.decoder_block_types):
+        block("decoder", i, bt)
+    return out
+
+
+# ---------------------------------------------------------------- embedding
+
+
+def embedding_to_torch(params: Mapping, constants: Mapping) -> dict:
+    sd = {
+        "fourier_embed.freqs": _to_np(constants["fourier_embed"]["freqs"]),
+        "fourier_embed.phases": _to_np(constants["fourier_embed"]["phases"]),
+        "sigma_embed.weight": _to_np(params["sigma_embed"]["w"]),
+    }
+    if "class_embed" in params:
+        sd["class_embed.linear.weight"] = _to_np(params["class_embed"]["WNLinear_0"]["w"])
+    return sd
+
+
+def embedding_from_torch(sd: Mapping) -> tuple[dict, dict]:
+    params: dict[str, Any] = {"sigma_embed": {"w": _to_np(sd["sigma_embed.weight"])}}
+    if "class_embed.linear.weight" in sd:
+        params["class_embed"] = {
+            "WNLinear_0": {"w": _to_np(sd["class_embed.linear.weight"])}
+        }
+    constants = {
+        "fourier_embed": {
+            "freqs": _to_np(sd["fourier_embed.freqs"]),
+            "phases": _to_np(sd["fourier_embed.phases"]),
+        }
+    }
+    return params, constants
+
+
+# ------------------------------------------------------------ EDM composite
+
+
+def _strip(sd: Mapping, prefix: str) -> dict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def edm_params_from_torch_state_dict(spec, torch_sd: Mapping) -> dict:
+    """Reference EDM LightningModule state_dict -> {'params', 'constants'}
+    variables for this framework's EDM module. ``spec`` is the EDMSpec whose
+    architecture matches the checkpoint (from the same YAML config)."""
+    emb_params, emb_constants = embedding_from_torch(_strip(torch_sd, "embedding."))
+    den_params = denoiser_params_from_torch(_strip(torch_sd, "denoiser."), spec.denoiser)
+    params: dict[str, Any] = {"embedding": emb_params, "denoiser": den_params}
+    u_sd = _strip(torch_sd, "u.")
+    if u_sd:
+        params["u"] = {
+            "WNLinear_0": {"w": _to_np(u_sd["linear1.weight"])},
+            "WNLinear_1": {"w": _to_np(u_sd["linear2.weight"])},
+            "gain": _to_np(u_sd["gain"]),
+        }
+    constants = {"embedding": emb_constants}
+    to_jnp = lambda tree: jnp.asarray(tree) if isinstance(tree, np.ndarray) else tree
+    import jax
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    constants = jax.tree_util.tree_map(jnp.asarray, constants)
+    return {"params": params, "constants": constants}
+
+
+def edm_params_to_torch_state_dict(spec, variables: Mapping) -> dict:
+    """Inverse: this framework's EDM variables -> reference EDM state_dict."""
+    params = variables["params"]
+    constants = variables["constants"]
+    sd = {}
+    for k, v in embedding_to_torch(
+        params["embedding"], constants["embedding"]
+    ).items():
+        sd[f"embedding.{k}"] = v
+    for k, v in denoiser_params_to_torch(params["denoiser"], spec.denoiser).items():
+        sd[f"denoiser.{k}"] = v
+    if "u" in params:
+        sd["u.linear1.weight"] = _to_np(params["u"]["WNLinear_0"]["w"])
+        sd["u.linear2.weight"] = _to_np(params["u"]["WNLinear_1"]["w"])
+        sd["u.gain"] = _to_np(params["u"]["gain"])
+    return sd
+
+
+# ----------------------------------------------------------------------- CLI
+
+
+def import_torch_checkpoint(
+    torch_ckpt: str, config_path: str, out_dir: str, load_ema: bool = False
+) -> None:
+    """Convert a reference checkpoint (lightning .ckpt or raw state_dict
+    .pt) into an orbax checkpoint consumable by generate.py."""
+    import jax
+    import torch
+
+    from tinyedm_tpu.config.registry import deinstantiate, instantiate, load_config
+    from tinyedm_tpu.training.checkpoint import save_checkpoint
+    from tinyedm_tpu.training.ema import EMAConfig
+    from tinyedm_tpu.training.state import TrainState
+    from tinyedm_tpu.training.train_step import OptimizerConfig, make_adam
+
+    ckpt = torch.load(torch_ckpt, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = ckpt["state_dict"]
+        step = int(ckpt.get("global_step", 0))
+    else:
+        sd = ckpt
+        step = 0
+
+    cfg = load_config(config_path)
+    spec = instantiate(cfg["model"])
+    variables = edm_params_from_torch_state_dict(spec, sd)
+    params = variables["params"]
+
+    ema = ()
+    if load_ema and isinstance(ckpt, dict):
+        try:
+            ema_flat = ckpt["optimizer_states"][0]["ema"]
+        except (KeyError, IndexError):
+            raise ValueError("EMA weights not found in the checkpoint.")
+        # reference EMA rides as a flat tuple in the reference's parameter
+        # order; rebuilding the tree needs that order — left for when a real
+        # reference checkpoint is available to pin the ordering against.
+        raise NotImplementedError(
+            "EMA import needs a real reference checkpoint to pin parameter "
+            "ordering; import the raw weights and re-track EMA instead."
+        )
+
+    opt_cfg = spec.build_optimizer_config()
+    tx = make_adam(opt_cfg.betas, opt_cfg.eps)
+    state = TrainState(
+        step=jnp.asarray(step, jnp.int32),
+        params=params,
+        constants=variables["constants"],
+        opt_state=tx.init(params),
+        ema=ema,
+    )
+    save_checkpoint(out_dir, state, config={"model": deinstantiate(spec)})
+    print(f"imported {torch_ckpt} (step {step}) -> {out_dir}")
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="Import a reference torch checkpoint")
+    p.add_argument("--torch_ckpt", required=True)
+    p.add_argument("--config", required=True, help="matching experiment YAML")
+    p.add_argument("--out_dir", required=True)
+    args = p.parse_args(argv)
+    import_torch_checkpoint(args.torch_ckpt, args.config, args.out_dir)
+
+
+if __name__ == "__main__":
+    main()
