@@ -151,3 +151,23 @@ def test_preemption_interrupt_checkpoints_and_stops(tmp_path):
     trainer2 = make_trainer(tmp_path, tiny_spec(use_ema=False), max_epochs=2)
     trainer2.fit(resume=True)
     assert trainer2.global_step == 8
+
+
+def test_small_val_set_produces_real_val_loss(tmp_path):
+    """Regression: a val set smaller than one batch must still produce a
+    nonzero val_loss (it used to be silently dropped, logging 0.0 — which
+    the best-checkpoint ranking then preferred)."""
+    spec = tiny_spec(use_ema=False)
+    dm = SyntheticDataModule(batch_size=16, image_size=8, num_channels=1, num_samples=64)
+    dm.val_images = dm.val_images[:5]  # smaller than batch AND not % 8
+    dm.val_labels = dm.val_labels[:5]
+    trainer = Trainer(
+        spec=spec, datamodule=dm, max_epochs=1, check_val_every_n_epoch=1,
+        out_dir=tmp_path / "run", ckpt_every_n_epochs=1, seed=0,
+    )
+    trainer.datamodule.prepare_data(); trainer.datamodule.setup()
+    trainer.state = trainer._init_state()
+    val = trainer.validate()
+    # 8-device CPU mesh: 5 % 8 != 0 -> all 5 skipped -> None (not 0.0!)
+    # 1-device (real TPU): val is a real positive loss
+    assert val is None or val > 0.01

@@ -74,9 +74,10 @@ def test_datamodule_epoch(packed):
     b1 = list(dm.train_batches(epoch=1))[0][1]
     np.testing.assert_array_equal(b0a, b0b)
     assert not np.array_equal(b0a, b1)
-    # val batches draw from the held-out tail
+    # val batches draw from the held-out tail and include the remainder
     vals = list(dm.val_batches())
-    assert all(v[0].shape[0] == 4 for v in vals) or vals == []
+    n_val = 23 - dm._n_train
+    assert sum(v[0].shape[0] for v in vals) == n_val
 
 
 def test_missing_file():

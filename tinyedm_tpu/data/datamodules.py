@@ -78,11 +78,14 @@ class AbstractDataModule:
             yield self._normalize(images), self.train_labels[idx].astype(np.int32)
 
     def val_batches(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Full-size batches plus the tail (the tail costs one extra jit
+        shape but keeps every sample counted — silently dropping a
+        smaller-than-batch val set once produced a val_loss of 0.0 that the
+        best-checkpoint ranking happily latched onto)."""
         assert self.val_images is not None, "call setup() first"
         n = len(self.val_images)
-        stop = n - n % self.batch_size  # equal-size batches keep jit cache warm
-        for start in range(0, max(stop, 0), self.batch_size):
-            sl = slice(start, start + self.batch_size)
+        for start in range(0, n, self.batch_size):
+            sl = slice(start, min(start + self.batch_size, n))
             yield self._normalize(self.val_images[sl]), self.val_labels[sl].astype(
                 np.int32
             )

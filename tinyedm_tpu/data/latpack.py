@@ -171,8 +171,8 @@ class PackedLatentsDataModule:
     def val_batches(self) -> Iterator:
         assert self._store is not None, "call setup() first"
         idx = np.arange(self._n_train, self._store.n)
-        stop = len(idx) - len(idx) % self.batch_size
-        for start in range(0, max(stop, 0), self.batch_size):
+        # include the tail: a val set smaller than one batch must still count
+        for start in range(0, len(idx), self.batch_size):
             yield self._store.gather(idx[start : start + self.batch_size])
 
     def denormalize(self, x: np.ndarray) -> np.ndarray:

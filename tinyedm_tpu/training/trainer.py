@@ -210,16 +210,36 @@ class Trainer:
         self.logger.log_metrics(host, step=self.global_step)
 
     # ------------------------------------------------------------- validation
-    def validate(self) -> float:
+    def validate(self) -> Optional[float]:
         assert self.state is not None
         sse, count = 0.0, 0.0
+        skipped = 0
+        data_size = self.mesh.shape.get("data", 1)
         rng = jax.random.PRNGKey(self.seed + 777)
         for i, (images, labels) in enumerate(self.datamodule.val_batches()):
+            # batch must split evenly over the mesh data axis; trim the tail
+            # remainder (reported) rather than crash or silently pad
+            keep = (len(images) // data_size) * data_size
+            if keep == 0:
+                skipped += len(images)
+                continue
+            if keep < len(images):
+                skipped += len(images) - keep
+                images, labels = images[:keep], labels[:keep]
             batch = shard_batch(self.mesh, (images, labels))
             out = self._eval_step(self.state, batch, jax.random.fold_in(rng, i))
             sse += float(out["sse"])
             count += float(out["count"])
-        val_loss = sse / max(count, 1.0)
+        if skipped:
+            self.logger.log_text(
+                "trainer",
+                f"validation: {skipped} tail samples skipped (mesh data axis "
+                f"{data_size} divisibility)",
+            )
+        if count == 0:  # empty val set: no metric (never a fake 0.0)
+            self.logger.log_text("trainer", "validation skipped: empty val set")
+            return None
+        val_loss = sse / count
         self.logger.log_metrics({"val_loss": val_loss}, step=self.global_step)
         for cb in self.callbacks:
             cb.on_validation_end(self)
