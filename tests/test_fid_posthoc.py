@@ -105,6 +105,39 @@ class TestPosthocEMAEndToEnd:
         assert np.isfinite(np.asarray(y)).all()
 
 
+class TestPosthocMultiCheckpoint:
+    def test_combine_across_steps(self, tmp_path):
+        """--steps with several checkpoints: snapshots from every (step,
+        gamma) pair are combined."""
+        import jax.numpy as jnp
+
+        from tests.test_e2e import make_trainer, tiny_spec
+        from tinyedm_tpu.posthoc_ema import reconstruct
+        from tinyedm_tpu.training.checkpoint import load_edm_from_checkpoint
+
+        spec = tiny_spec()  # single EMA profile, ckpt every epoch
+        trainer = make_trainer(tmp_path, spec, max_epochs=2)
+        trainer.fit()
+        trainer.ckpt.wait()
+        steps = sorted(
+            int(p.name) for p in (tmp_path / "run" / "checkpoints").iterdir()
+            if p.name.isdigit()
+        )
+        assert len(steps) >= 2
+        reconstruct(
+            str(tmp_path / "run" / "checkpoints"),
+            target_sigma_rel=0.10,
+            out_dir=str(tmp_path / "posthoc_multi"),
+            steps=steps[:2],
+        )
+        _, model, variables, state = load_edm_from_checkpoint(
+            tmp_path / "posthoc_multi", load_ema=True
+        )
+        x = jnp.zeros((2, 8, 8, 1))
+        y = model.apply(variables, x, jnp.ones((2,)), jnp.asarray([0, 1]))
+        assert np.isfinite(np.asarray(y)).all()
+
+
 class TestEvalFidCLI:
     def test_stats_and_score(self, tmp_path):
         """Drive the eval_fid CLI: dataset stats from synthetic CIFAR files,
