@@ -197,7 +197,8 @@ class Trainer:
                 self.save_checkpoint(val_loss)
             self.epoch += 1
 
-        self.save_checkpoint(None)
+        if self.ckpt.latest_step != self.global_step:  # avoid same-step double save
+            self.save_checkpoint(None)
         self.ckpt.wait()
         for cb in self.callbacks:
             cb.on_fit_end(self)
