@@ -33,12 +33,14 @@ A100_BF16_FLOPS = 312e12
 ASSUMED_A100_MFU = 0.40
 
 
-def build():
+def build(mod_fp32: bool = True):
     from tinyedm_tpu.config.registry import instantiate, load_config
     from tinyedm_tpu.parallel.mesh import ShardingPlan, make_mesh, replicate_state, shard_batch
     from tinyedm_tpu.training.train_step import init_train_state, make_train_step
 
     cfg = load_config("experiments/conf/cifar10.yaml")
+    if not mod_fp32:
+        cfg["model"]["denoiser"]["mod_fp32"] = False
     spec = instantiate(cfg["model"])
     model = spec.build_model()
     opt_cfg = spec.build_optimizer_config()
@@ -130,6 +132,13 @@ def main() -> None:
 
     imgs_per_sec = bench_sampler(model, state, spec)
 
+    # optional-knob headroom: bf16 modulation islands (mod_fp32: false in the
+    # config; convergence-validated, BENCH.md) — reported as an extra, the
+    # primary number stays at strict reference-parity numerics
+    _, _, state_f, step_f, batch_f, _ = build(mod_fp32=False)
+    dt_f, _, _ = bench_train(state_f, step_f, batch_f)
+    fast_samples_per_sec = BATCH / dt_f / n_chips
+
     print(
         json.dumps(
             {
@@ -144,6 +153,7 @@ def main() -> None:
                     "train_flops_per_step": fl,
                     "a100_estimate_samples_per_sec": round(a100_samples_per_sec, 1),
                     "heun32_imgs_per_sec": round(imgs_per_sec, 1),
+                    "samples_per_sec_mod_fp32_false": round(fast_samples_per_sec, 1),
                     "n_chips": n_chips,
                     "chip": str(jax.devices()[0].device_kind),
                 },
