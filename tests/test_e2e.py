@@ -171,3 +171,25 @@ def test_small_val_set_produces_real_val_loss(tmp_path):
     # 8-device CPU mesh: 5 % 8 != 0 -> all 5 skipped -> None (not 0.0!)
     # 1-device (real TPU): val is a real positive loss
     assert val is None or val > 0.01
+
+
+def test_latents_generate_callback_without_vae(tmp_path):
+    """LatentsGenerateCallback: VAE unavailable in this environment -> it
+    must fall back to logging normalized latents (not crash), after
+    un-normalizing with the dataset stats (reference callbacks.py:117)."""
+    from tinyedm_tpu.training.callbacks import LatentsGenerateCallback
+
+    spec = tiny_spec()
+    cb = LatentsGenerateCallback(
+        solver=DeterministicSolver(num_steps=3),
+        img_shape=(1, 8, 8),
+        mean=(0.1,),
+        std=(0.5,),
+        num_samples_per_class=2,
+        num_classes=2,
+        every_n_epochs=1,
+    )
+    trainer = make_trainer(tmp_path, spec, max_epochs=1, callbacks=[cb])
+    trainer.fit()
+    images = list((tmp_path / "run" / "images").glob("Generated_*.png"))
+    assert images, "LatentsGenerateCallback wrote no preview"
