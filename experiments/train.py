@@ -32,8 +32,14 @@ def main(argv=None) -> None:
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = parser.parse_args(argv)
 
-    cfg = load_config(Path(args.config_path) / f"{args.config_name}.yaml")
+    cfg = load_config(
+        Path(args.config_path) / f"{args.config_name}.yaml",
+        resolve=not args.overrides,
+    )
     if args.overrides:
+        # overrides land on the raw tree; interpolations resolve afterwards,
+        # so overriding e.g. model.embedding.embedding_dim propagates into
+        # ${model.embedding.embedding_dim} references (hydra semantics)
         cfg = apply_overrides(cfg, args.overrides)
     if args.max_epochs is not None:
         cfg["trainer"]["max_epochs"] = args.max_epochs

@@ -34,6 +34,16 @@ def test_overrides():
     assert cfg["trainer"]["max_epochs"] == 7
 
 
+def test_override_of_interpolation_source_propagates():
+    """Hydra semantics: overriding model.embedding.embedding_dim must reach
+    ${model.embedding.embedding_dim} references when the config is loaded
+    raw (resolve=False) and overridden before resolution — the train CLI's
+    path."""
+    cfg = load_config(CONF / "cifar10.yaml", resolve=False)
+    cfg = apply_overrides(cfg, ["model.embedding.embedding_dim=128"])
+    assert cfg["model"]["denoiser"]["embedding_dim"] == 128
+
+
 @pytest.mark.parametrize("name", ["mnist", "cifar10", "imagenet", "imagenet512", "smoke"])
 def test_instantiate_all_shipped_configs(name):
     cfg = load_config(CONF / f"{name}.yaml")

@@ -82,11 +82,14 @@ def _resolve_interpolations(node: Any, root: Mapping[str, Any]) -> Any:
     return node
 
 
-def load_config(path: str | Path) -> dict:
-    """Load a YAML experiment config and resolve ${...} interpolations."""
+def load_config(path: str | Path, resolve: bool = True) -> dict:
+    """Load a YAML experiment config; resolves ${...} interpolations unless
+    ``resolve=False`` (use that when CLI overrides follow — hydra semantics:
+    overriding an interpolation SOURCE must propagate to its references, so
+    resolution happens after overrides in apply_overrides)."""
     with open(path) as f:
         cfg = yaml.safe_load(f)
-    return _resolve_interpolations(cfg, cfg)
+    return _resolve_interpolations(cfg, cfg) if resolve else cfg
 
 
 def apply_overrides(cfg: dict, overrides: list[str]) -> dict:
