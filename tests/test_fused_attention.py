@@ -1,0 +1,130 @@
+"""Fused cosine-attention kernel (ops/fused_attention.py) vs the XLA path.
+
+Runs the Pallas kernels in interpreter mode on the CPU test backend; the
+reference implementation is the same math CosineAttention's XLA branch uses
+(reference semantics: networks.py:194-207).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyedm_tpu.ops.fused_attention import (
+    MAX_FUSED_TOKENS,
+    _bwd_impl,
+    _fwd_impl,
+    _pick_bb,
+)
+from tinyedm_tpu.ops.mp import pixel_norm
+
+
+def xla_attention(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    q5 = pixel_norm(qkv.reshape(b, n, 3, heads, hd), axis=-1)
+    q, k, v = q5[:, :, 0], q5[:, :, 1], q5[:, :, 2]
+    scale = 1.0 / math.sqrt(hd)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    w = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
+    y = jnp.einsum("bhqk,bkhd->bqhd", w, v, preferred_element_type=qkv.dtype)
+    return y.reshape(b, n, c)
+
+
+@pytest.mark.parametrize(
+    "n,heads,dtype",
+    [(64, 4, jnp.bfloat16), (256, 4, jnp.bfloat16), (64, 2, jnp.float32), (16, 1, jnp.float32)],
+)
+def test_forward_matches_xla(n, heads, dtype):
+    c = 64 * heads
+    qkv = (jax.random.normal(jax.random.PRNGKey(0), (4, n, 3 * c)) * 0.7).astype(dtype)
+    out = _fwd_impl(qkv, heads, interpret=True).astype(jnp.float32)
+    ref = xla_attention(qkv, heads).astype(jnp.float32)
+    tol = 2e-3 if dtype == jnp.bfloat16 else 1e-5
+    np.testing.assert_allclose(out, ref, atol=tol, rtol=tol)
+
+
+@pytest.mark.parametrize("n,dtype", [(64, jnp.float32), (128, jnp.float32)])
+def test_backward_exact_fp32(n, dtype):
+    """In fp32 the hand-written VJP must match autodiff of the XLA path to
+    numerical precision (same exact math)."""
+    heads, c = 4, 128
+    qkv = (jax.random.normal(jax.random.PRNGKey(0), (2, n, 3 * c)) * 0.7).astype(dtype)
+    g = (jax.random.normal(jax.random.PRNGKey(1), (2, n, c)) * 0.5).astype(dtype)
+    dref = jax.vjp(lambda q: xla_attention(q, heads), qkv)[1](g)[0]
+    dout = _bwd_impl(qkv, g, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(dout), np.asarray(dref), atol=2e-6, rtol=2e-5)
+
+
+def test_backward_bf16_close():
+    """bf16 grads differ from XLA autodiff only by rounding (the kernel keeps
+    fp32 accumulation but rounds matmul operands to bf16 like XLA does)."""
+    heads, c, n = 4, 256, 64
+    qkv = (jax.random.normal(jax.random.PRNGKey(0), (4, n, 3 * c)) * 0.7).astype(jnp.bfloat16)
+    g = (jax.random.normal(jax.random.PRNGKey(1), (4, n, c)) * 0.5).astype(jnp.bfloat16)
+    dref = jax.vjp(lambda q: xla_attention(q, heads), qkv)[1](g)[0].astype(jnp.float32)
+    dout = _bwd_impl(qkv, g, heads, interpret=True).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(dout - dref) / (jnp.linalg.norm(dref) + 1e-9))
+    assert rel < 2e-2, rel
+
+
+def test_spmd_batch_partitioning():
+    """Under a sharded jit the kernel must keep the batch sharding (no
+    replication all-gather) and produce identical values."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tinyedm_tpu.ops.fused_attention import cosine_attention_qkv
+    from tinyedm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 64, 192), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    f = jax.jit(
+        lambda q: cosine_attention_qkv(q, 2),
+        in_shardings=NamedSharding(mesh, P("data")),
+    )
+    out = f(xs)
+    assert out.sharding.spec == P("data")
+    ref = jax.jit(lambda q: cosine_attention_qkv(q, 2))(x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    grad = jax.jit(
+        jax.grad(lambda q: cosine_attention_qkv(q, 2).astype(jnp.float32).sum()),
+        in_shardings=NamedSharding(mesh, P("data")),
+    )(xs)
+    assert grad.sharding.spec == P("data")
+
+
+def test_pick_bb_divides_batch():
+    for b in (1, 2, 3, 6, 8, 32, 256):
+        for n in (16, 64, 256, 512):
+            for bwd in (False, True):
+                bb = _pick_bb(b, n, 256, bwd)
+                assert b % bb == 0
+
+
+def test_module_dispatch_forced_on(monkeypatch):
+    """CosineAttention(fused='on') goes through the kernel (interpret mode on
+    CPU) and matches fused='off' numerics."""
+    from flax import linen as nn
+
+    from tinyedm_tpu.models.layers import CosineAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32))
+    m_on = CosineAttention(num_heads=2, fused="on")
+    m_off = CosineAttention(num_heads=2, fused="off")
+    v = m_on.init(jax.random.PRNGKey(1), x)
+    y_on = m_on.apply(v, x)
+    y_off = m_off.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off), atol=1e-5, rtol=1e-5)
+
+
+def test_max_fused_tokens_bound():
+    assert MAX_FUSED_TOKENS == 512

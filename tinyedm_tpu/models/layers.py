@@ -233,6 +233,11 @@ class CosineAttention(nn.Module):
     num_heads: int = 4
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # fused-kernel dispatch: "auto" uses the fused pixel_norm+attention
+    # Pallas kernel (ops/fused_attention.py) on TPU for token counts within
+    # its VMEM-resident range, the XLA path elsewhere (CPU tests keep XLA
+    # numerics). "on"/"off" force it (tests/benchmarks).
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -242,23 +247,36 @@ class CosineAttention(nn.Module):
         n = h * w
 
         qkv = WNConv(3 * c, 1, dtype=self.dtype, name="qkv_conv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
-        qkv = pixel_norm(qkv, axis=-1)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, heads, hd)
 
-        if self.use_pallas:
-            from tinyedm_tpu.ops.attention import flash_attention
+        from tinyedm_tpu.ops.fused_attention import MAX_FUSED_TOKENS, cosine_attention_qkv
 
-            y = flash_attention(q, k, v)
+        use_fused = self.fused == "on" or (
+            self.fused == "auto"
+            and n <= MAX_FUSED_TOKENS
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            # one Pallas call replaces pixel_norm + both einsums + softmax +
+            # all reshapes; identical math (see fused_attention docstring)
+            y = cosine_attention_qkv(qkv.reshape(b, n, 3 * c), self.num_heads)
         else:
-            scale = 1.0 / math.sqrt(hd)
-            logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-            ) * jnp.float32(scale)
-            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            y = jnp.einsum(
-                "bhqk,bkhd->bqhd", weights, v, preferred_element_type=self.dtype
-            )
+            qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+            qkv = pixel_norm(qkv, axis=-1)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, heads, hd)
+
+            if self.use_pallas:
+                from tinyedm_tpu.ops.attention import flash_attention
+
+                y = flash_attention(q, k, v)
+            else:
+                scale = 1.0 / math.sqrt(hd)
+                logits = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+                ) * jnp.float32(scale)
+                weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+                y = jnp.einsum(
+                    "bhqk,bkhd->bqhd", weights, v, preferred_element_type=self.dtype
+                )
         y = y.reshape(b, h, w, c)
         y = WNConv(c, 1, dtype=self.dtype, name="out_conv")(y)
         return mp_add(x.astype(self.dtype), y, 0.5)

@@ -1,0 +1,309 @@
+"""Fused small-n cosine attention: one Pallas kernel from qkv-conv output to
+attention output.
+
+Motivation (round-2 profile, BENCH.md): at EDM2's shipped resolutions the
+spatial token counts are tiny (8x8=64, 16x16=256) but XLA's attention path
+costs ~28 ms of a 183 ms CIFAR train step — it materializes the fp32
+(b, heads, n, n) logits in HBM (268 MB per 256-token layer), plus separate
+pixel-norm / transpose / reshape passes. The FLOPs are trivial; the cost is
+pure HBM traffic. This kernel keeps everything in VMEM:
+
+    qkv (b, n, 3C) bf16  ->  [per head: pixel_norm(fp32 RMS) -> QK^T (fp32
+    acc) -> softmax (fp32) -> .V]  ->  out (b, n, C)
+
+and the backward recomputes the softmax in-kernel (flash trade), emitting
+d(qkv) in the same layout — so the only HBM traffic in either direction is
+the qkv tensor, the output, and their cotangents, all in their native
+channel-minor conv layout (no transposes; per-head q/k/v slices are
+VMEM-local lane selections).
+
+Numerics match tinyedm_tpu.models.layers.CosineAttention's XLA path op for
+op (same pixel_norm formula incl. the bf16 denominator cast, fp32 logits
+and softmax, PV matmul with fp32 accumulation rounded to the compute dtype);
+the reference semantics are torch SDPA over pixel-normed heads
+(networks.py:194-201).
+
+Implementation notes:
+  * One grid step processes a whole batch chunk; within it the matmuls are
+    batched dots (block-diagonal over the chunk) so Mosaic pipelines the
+    per-sample (n, hd) GEMMs without per-matmul drain.
+  * Heads run under ``lax.switch`` inside a ``fori_loop`` rather than an
+    unrolled python loop: each switch branch has static lane offsets, while
+    the loop bounds Mosaic's scoped-VMEM stack to ONE head's intermediates
+    (an unrolled loop stacks all heads' fp32 (bb, n, n) tensors and OOMs).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-4  # pixel_norm epsilon (ops/mp.py; reference networks.py:9-14)
+
+# batched (block-diagonal over the batch chunk) matmul dimension numbers:
+# contract as annotated, batch over axis 0
+_BMM_TT = (((2,), (2,)), ((0,), (0,)))  # (bb,n,d) x (bb,m,d) -> (bb,n,m)
+_BMM_TN = (((2,), (1,)), ((0,), (0,)))  # (bb,n,m) x (bb,m,d) -> (bb,n,d)
+_BMM_NT = (((1,), (1,)), ((0,), (0,)))  # (bb,m,n) x (bb,m,d) -> (bb,n,d)
+
+
+def _norm_head(x_c):
+    """pixel_norm over the head dim, matching ops.mp.pixel_norm exactly:
+    fp32 RMS, eps offset, denominator cast to the input dtype before the
+    divide. Returns (normalized, fp32 norm s, fp32 denom D)."""
+    m = x_c.shape[-1]
+    x32 = x_c.astype(jnp.float32)
+    s = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
+    d = EPS + s * (1.0 / math.sqrt(m))
+    y = x_c / d.astype(x_c.dtype)
+    return y, s, d
+
+
+def _for_each_head(heads: int, body) -> None:
+    """Run ``body(h)`` for h in range(heads) with static offsets per branch
+    but loop-scoped (not summed) VMEM liveness."""
+    branches = [functools.partial(body, h) for h in range(heads)]
+
+    def step(h, carry):
+        jax.lax.switch(h, branches)
+        return carry
+
+    jax.lax.fori_loop(0, heads, step, 0)
+
+
+def _attn_fwd_kernel(qkv_ref, o_ref, *, heads: int, channels: int):
+    """One batch-chunk: cosine attention for every head, entirely in VMEM.
+
+    qkv_ref: (bb, n, 3C); o_ref: (bb, n, C)."""
+    hd = channels // heads
+    scale = 1.0 / math.sqrt(hd)
+
+    def head(h):
+        q = qkv_ref[:, :, h * hd : (h + 1) * hd]  # (bb, n, hd)
+        k = qkv_ref[:, :, channels + h * hd : channels + (h + 1) * hd]
+        v = qkv_ref[:, :, 2 * channels + h * hd : 2 * channels + (h + 1) * hd]
+        qn, _, _ = _norm_head(q)
+        kn, _, _ = _norm_head(k)
+        vn, _, _ = _norm_head(v)
+        logits = jax.lax.dot_general(
+            qn, kn, dimension_numbers=_BMM_TT, preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - mx)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qn.dtype)
+        out = jax.lax.dot_general(
+            p, vn, dimension_numbers=_BMM_TN, preferred_element_type=jnp.float32
+        )
+        o_ref[:, :, h * hd : (h + 1) * hd] = out.astype(o_ref.dtype)
+
+    _for_each_head(heads, head)
+
+
+def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, channels: int):
+    """Backward for one batch-chunk: recompute the softmax (flash trade),
+    then the attention VJP followed by the pixel_norm VJP, per head.
+
+    pixel_norm VJP for y = x / bf16(D), D = eps + |x|/sqrt(m):
+        dx = g/D - x * sum(g * x) / (D^2 * |x| * sqrt(m))
+    (exact-math VJP evaluated in fp32)."""
+    hd = channels // heads
+    scale = 1.0 / math.sqrt(hd)
+    rsqrt_m = 1.0 / math.sqrt(hd)
+
+    def pixel_norm_bwd(x_c, s, d, gy):
+        x = x_c.astype(jnp.float32)
+        d32 = d.astype(jnp.float32)
+        inner = jnp.sum(gy * x, axis=-1, keepdims=True)
+        return gy / d32 - x * (inner / (d32 * d32 * jnp.maximum(s, 1e-30) / rsqrt_m))
+
+    def head(h):
+        q = qkv_ref[:, :, h * hd : (h + 1) * hd]  # (bb, n, hd)
+        k = qkv_ref[:, :, channels + h * hd : channels + (h + 1) * hd]
+        v = qkv_ref[:, :, 2 * channels + h * hd : 2 * channels + (h + 1) * hd]
+        g = g_ref[:, :, h * hd : (h + 1) * hd]  # compute dtype
+        qn, sq, dq_ = _norm_head(q)
+        kn, sk, dk_ = _norm_head(k)
+        vn, sv, dv_ = _norm_head(v)
+        logits = jax.lax.dot_general(
+            qn, kn, dimension_numbers=_BMM_TT, preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - mx)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (bb, n, n) fp32
+        p_c = p.astype(qn.dtype)
+
+        # All matmuls take compute-dtype operands with fp32 accumulation —
+        # same mixed precision XLA's autodiff gives the einsum path, and 2x
+        # the MXU rate of fp32 operands.
+        dvn = jax.lax.dot_general(  # P^T g
+            p_c, g, dimension_numbers=_BMM_NT, preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(  # g V^T
+            g, vn, dimension_numbers=_BMM_TT, preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * jnp.float32(scale)).astype(qn.dtype)
+        dqn = jax.lax.dot_general(  # dS K
+            ds, kn, dimension_numbers=_BMM_TN, preferred_element_type=jnp.float32
+        )
+        dkn = jax.lax.dot_general(  # dS^T Q
+            ds, qn, dimension_numbers=_BMM_NT, preferred_element_type=jnp.float32
+        )
+
+        dqkv_ref[:, :, h * hd : (h + 1) * hd] = pixel_norm_bwd(
+            q, sq, dq_, dqn
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, channels + h * hd : channels + (h + 1) * hd] = (
+            pixel_norm_bwd(k, sk, dk_, dkn).astype(dqkv_ref.dtype)
+        )
+        dqkv_ref[:, :, 2 * channels + h * hd : 2 * channels + (h + 1) * hd] = (
+            pixel_norm_bwd(v, sv, dv_, dvn).astype(dqkv_ref.dtype)
+        )
+
+    _for_each_head(heads, head)
+
+
+def _pick_bb(b: int, n: int, channels: int, bwd: bool) -> int:
+    """Largest batch-chunk (divisor of b) fitting VMEM (16 MB/core).
+
+    Live per step: the (bb, n, 3C)/(bb, n, C) blocks (double-buffered) plus
+    ONE head's fp32 intermediates (the head loop is liveness-scoped): ~2
+    (bb, n, n) tensors forward, ~3 backward, plus (bb, n, hd) casts."""
+    # Empirically tuned on v5e (bigger chunks amortize the per-matmul MXU
+    # drain; the (bb, n, n) fp32 softmax terms bound it from above — the
+    # backward holds three of them plus dqkv blocks, so its cap is ~4x lower).
+    k = (4 if bwd else 8) * 65536
+    cap = min(16, max(1, k // (n * n)))
+    for bb in (16, 8, 4, 2, 1):
+        if b % bb == 0 and bb <= cap:
+            return bb
+    return 1
+
+
+def _fwd_impl(qkv: jnp.ndarray, heads: int, *, interpret: bool | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, c3 = qkv.shape
+    channels = c3 // 3
+    bb = _pick_bb(b, n, channels, bwd=False)
+    kernel = functools.partial(_attn_fwd_kernel, heads=heads, channels=channels)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, channels), qkv.dtype),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, n, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, n, channels), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(qkv)
+
+
+def _bwd_impl(qkv, g, heads: int, *, interpret: bool | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, c3 = qkv.shape
+    channels = c3 // 3
+    bb = _pick_bb(b, n, channels, bwd=True)
+    kernel = functools.partial(_attn_bwd_kernel, heads=heads, channels=channels)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, c3), qkv.dtype),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, n, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bb, n, channels), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, n, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(qkv, g)
+
+
+def _batch_partitioned(fn, n_args: int):
+    """Make a batch-parallel Pallas entry SPMD-safe under jit-with-shardings.
+
+    XLA's SPMD partitioner cannot see inside a Mosaic custom call, so a bare
+    pallas_call under a sharded jit gets replicated (all-gathering the batch
+    onto every chip — DP throughput death). custom_partitioning declares the
+    truth: every operand and the result shard on the leading (batch) dim
+    only, and each device just runs the kernel on its local shard.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cp = custom_partitioning(fn)
+
+    def _batch_axis(arg_shapes):
+        for s in arg_shapes:
+            spec = getattr(s.sharding, "spec", None)
+            if spec and len(spec) and spec[0] is not None:
+                return spec[0]
+        return None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, PartitionSpec(_batch_axis(arg_shapes)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        axis = _batch_axis(arg_shapes)
+        sh = NamedSharding(mesh, PartitionSpec(axis))
+        return mesh, fn, sh, (sh,) * n_args
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # einsum-style rule for the Shardy partitioner: batch dim flows
+        # through, token/channel dims stay unsharded
+        sharding_rule="b n c -> b n k" if n_args == 1 else "b n c, b n d -> b n c",
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(heads: int):
+    return _batch_partitioned(lambda qkv: _fwd_impl(qkv, heads), n_args=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(heads: int):
+    return _batch_partitioned(lambda qkv, g: _bwd_impl(qkv, g, heads), n_args=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def cosine_attention_qkv(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Fused pixel_norm + cosine attention on a (b, tokens, 3C) qkv tensor.
+
+    Returns (b, tokens, C) with head-major channel grouping — identical
+    layout to the XLA path's ``reshape(b, n, heads, hd) -> (b, n, C)``.
+    Differentiable via Pallas forward/backward kernels; batch-dim
+    partitioned under SPMD meshes.
+    """
+    return _fwd_partitioned(num_heads)(qkv)
+
+
+def _vjp_fwd(qkv, num_heads):
+    return _fwd_partitioned(num_heads)(qkv), qkv
+
+
+def _vjp_bwd(num_heads, qkv, g):
+    return (_bwd_partitioned(num_heads)(qkv, g),)
+
+
+cosine_attention_qkv.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# Maximum token count for the fused single-block path: above this the (n, n)
+# fp32 softmax per head no longer fits comfortably in VMEM alongside the
+# batch chunk; callers should use ops.attention.flash_attention (q-blocked)
+# instead.
+MAX_FUSED_TOKENS = 512
