@@ -57,8 +57,13 @@ def main(argv=None) -> None:
 
     seed = cfg.get("seed", 42)
     tcfg = cfg.get("trainer", {})
+    # reference: logger.watch(model, log="all", log_freq=500) (train.py:28,
+    # conf/cifar10.yaml wandb_watch) -> grad/param norms from the jitted step
+    watch_cfg = cfg.get("wandb_watch") or {}
     spec = instantiate(
-        cfg["model"], accum_steps=tcfg.get("accumulate_grad_batches", 1)
+        cfg["model"],
+        accum_steps=tcfg.get("accumulate_grad_batches", 1),
+        log_norms=bool(watch_cfg.get("enabled", bool(watch_cfg))),
     )
     datamodule = instantiate(cfg["datamodule"])
     if hasattr(datamodule, "seed"):

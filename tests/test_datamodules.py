@@ -162,3 +162,39 @@ def test_multihost_batch_slicing(monkeypatch):
     batch = np.arange(16).reshape(16, 1).astype(np.float32)
     out = M.shard_batch(m, batch)
     np.testing.assert_array_equal(calls[0].reshape(-1), [8, 9, 10, 11])
+
+
+class TestImageNetLatentsLayouts:
+    @staticmethod
+    def _write_split(root, n, offset=0):
+        (root / "latents").mkdir(parents=True)
+        (root / "labels").mkdir(parents=True)
+        for i in range(n):
+            np.save(root / "latents" / f"{i}.npy", np.full((4, 8, 8), i + offset, np.float32))
+            np.save(root / "labels" / f"{i}.npy", np.int64(i + offset))
+
+    def test_reference_train_val_dir_layout(self, tmp_path):
+        """The reference extracts train/ and val/ separately
+        (imagenet_latents_datamodule.py:43-45); such a dataset must load
+        unchanged (VERDICT r1 missing #4)."""
+        from tinyedm_tpu.data.datamodules import ImageNetLatentsDataModule
+
+        self._write_split(tmp_path / "train", 6)
+        self._write_split(tmp_path / "val", 2, offset=100)
+        dm = ImageNetLatentsDataModule(batch_size=2, data_dir=str(tmp_path))
+        dm.setup()
+        assert dm.train_images.shape == (6, 8, 8, 4)  # CHW npy -> NHWC served
+        assert dm.val_images.shape == (2, 8, 8, 4)
+        assert list(dm.val_labels) == [100, 101]
+        assert dm.num_classes == 1000
+
+    def test_single_dir_layout_val_fraction(self, tmp_path):
+        from tinyedm_tpu.data.datamodules import ImageNetLatentsDataModule
+
+        self._write_split(tmp_path, 8)
+        dm = ImageNetLatentsDataModule(
+            batch_size=2, data_dir=str(tmp_path), val_fraction=0.25
+        )
+        dm.setup()
+        assert len(dm.train_images) == 6
+        assert len(dm.val_images) == 2

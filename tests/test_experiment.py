@@ -78,3 +78,20 @@ def test_uncertainty_model():
 def test_missing_ema_length_raises():
     with pytest.raises(ValueError, match="ema_length"):
         make_spec(use_ema=True)
+
+
+def test_log_norms_flows_to_optimizer_config():
+    # wandb_watch wiring (reference train.py:28): spec flag -> OptimizerConfig
+    assert make_spec(log_norms=True).build_optimizer_config().log_norms
+    assert not make_spec().build_optimizer_config().log_norms
+
+
+def test_val_ema_index_selects_profile():
+    spec = make_spec(use_ema=True, ema_lengths=(0.05, 0.13), val_ema_index=1)
+    assert spec.val_ema_index == 1
+    assert spec.build_ema_config().sigma_rels == (0.05, 0.13)
+
+
+def test_val_ema_index_out_of_range_raises():
+    with pytest.raises(ValueError, match="val_ema_index"):
+        make_spec(use_ema=True, ema_length=0.13, val_ema_index=1)

@@ -203,3 +203,36 @@ def test_scheduler_interval_step_vs_epoch():
     # rampup at count 5 -> lr 0.5; steady at count 15 -> lr 1.0
     np.testing.assert_allclose(float(m5["learning_rate"]), 0.5, rtol=1e-5)
     np.testing.assert_allclose(float(m15["learning_rate"]), 1.0, rtol=1e-5)
+
+
+def test_log_norms_metrics():
+    """wandb.watch(log='all') analog: grad/param global L2 norms emitted
+    from the step (reference experiments/train.py:28)."""
+    model = tiny_model()
+    diffuser = Diffuser(-1.2, 1.2)
+    cfg = OptimizerConfig(lr=1e-3, rampup_steps=0, steady_steps=10, log_norms=True)
+    img = jnp.zeros((8, 8, 8, 1))
+    state = init_train_state(jax.random.PRNGKey(0), model, img, cfg)
+    step = jax.jit(make_train_step(model, diffuser, cfg))
+    _, metrics = step(state, _fake_batch(jax.random.PRNGKey(1)), jax.random.PRNGKey(2), jnp.asarray(5.0))
+    assert np.isfinite(float(metrics["grad_norm"])) and float(metrics["grad_norm"]) > 0
+    assert np.isfinite(float(metrics["param_norm"])) and float(metrics["param_norm"]) > 0
+
+
+def test_eval_step_ema_index_selects_profile(setup):
+    """Validation can monitor any tracked EMA profile (VERDICT r1 weak #5)."""
+    import dataclasses
+
+    model, diffuser, _, _, state, step = setup
+    batch = _fake_batch(jax.random.PRNGKey(7))
+    state, _ = step(state, batch, jax.random.PRNGKey(8), jnp.asarray(1.0))
+    # corrupt profile 1 so the two profiles evaluate differently
+    broken = jax.tree_util.tree_map(lambda x: x * 0.0, state.ema[1])
+    state = dataclasses.replace(state, ema=(state.ema[0], broken))
+    rng = jax.random.PRNGKey(9)
+    out0 = jax.jit(make_eval_step(model, diffuser, use_ema=True, ema_index=0))(state, batch, rng)
+    out1 = jax.jit(make_eval_step(model, diffuser, use_ema=True, ema_index=1))(state, batch, rng)
+    assert float(out0["sse"]) != float(out1["sse"])
+    # profile 0 after one step equals the live params (EMA bootstraps at step 0)
+    out_live = jax.jit(make_eval_step(model, diffuser, use_ema=False))(state, batch, rng)
+    np.testing.assert_allclose(float(out0["sse"]), float(out_live["sse"]), rtol=1e-4)

@@ -252,9 +252,10 @@ class ImageNetLatentsDataModule(AbstractDataModule):
     def num_classes(self) -> int:
         return self._num_classes
 
-    def setup(self, stage: str = "fit") -> None:
-        lat_dir = self.data_dir / "latents"
-        lab_dir = self.data_dir / "labels"
+    @staticmethod
+    def _load_split(root: Path) -> tuple[np.ndarray, np.ndarray]:
+        lat_dir = root / "latents"
+        lab_dir = root / "labels"
         files = sorted(lat_dir.glob("*.npy"), key=lambda p: int(p.stem))
         if not files:
             raise FileNotFoundError(f"no latents under {lat_dir}")
@@ -265,8 +266,19 @@ class ImageNetLatentsDataModule(AbstractDataModule):
                 lat = lat.transpose(1, 2, 0)
             lats.append(lat.astype(np.float32))
             labs.append(int(np.load(lab_dir / p.name)))
-        images = np.stack(lats)
-        labels = np.asarray(labs, np.int64)
+        return np.stack(lats), np.asarray(labs, np.int64)
+
+    def setup(self, stage: str = "fit") -> None:
+        if (self.data_dir / "train" / "latents").is_dir():
+            # reference layout: separate train/ and val/ extraction dirs
+            # (imagenet_latents_datamodule.py:43-45)
+            self.train_images, self.train_labels = self._load_split(
+                self.data_dir / "train"
+            )
+            self.val_images, self.val_labels = self._load_split(self.data_dir / "val")
+            return
+        # single-dir layout: carve a val fraction off the tail
+        images, labels = self._load_split(self.data_dir)
         n_val = max(1, int(len(images) * self.val_fraction))
         self.train_images, self.train_labels = images[:-n_val], labels[:-n_val]
         self.val_images, self.val_labels = images[-n_val:], labels[-n_val:]

@@ -52,15 +52,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_local_slice(x: np.ndarray, process_index: int, process_count: int) -> np.ndarray:
+    """This process's contiguous share of a global-batch array.
+
+    Every process iterates the same global batch order (datamodules shuffle
+    with a shared seed), so slicing by process rank yields disjoint,
+    order-preserving shares that exactly tile the global batch — the
+    per-host input pipeline of SURVEY.md §2.4 with no cross-host exchange.
+    The global batch must divide evenly by process_count (shard_batch
+    callers guarantee divisibility by the mesh data-axis size, of which
+    process_count is a factor)."""
+    x = np.asarray(x)
+    if x.shape[0] % process_count != 0:
+        raise ValueError(
+            f"global batch {x.shape[0]} not divisible by {process_count} processes"
+        )
+    per = x.shape[0] // process_count
+    return x[process_index * per : (process_index + 1) * per]
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place a host batch (pytree of arrays with a leading GLOBAL batch dim)
     onto the mesh, split along ``data``.
 
-    Single-process: a plain device_put. Multi-host: every process holds the
-    same global batch iteration order (the datamodules shuffle with a shared
-    seed), so each process contributes its disjoint slice and the global
-    array is assembled via make_array_from_process_local_data — the per-host
-    input pipeline of SURVEY.md §2.4 without any cross-host data exchange."""
+    Single-process: a plain device_put. Multi-host: each process contributes
+    its disjoint ``process_local_slice`` and the global array is assembled
+    via make_array_from_process_local_data."""
     sharding = batch_sharding(mesh)
     pc = jax.process_count()
     if pc == 1:
@@ -68,9 +85,7 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     pi = jax.process_index()
 
     def place(x):
-        x = np.asarray(x)
-        per = x.shape[0] // pc
-        local = x[pi * per : (pi + 1) * per]
+        local = process_local_slice(x, pi, pc)
         return jax.make_array_from_process_local_data(sharding, local)
 
     return jax.tree_util.tree_map(place, batch)

@@ -45,10 +45,24 @@ class EDMSpec:
     # update runs inside the jitted step (SURVEY.md §2.2 row 4).
     cpu_offload: bool = False
     accum_steps: int = 1
+    # wandb.watch(model, log="all") analog (reference experiments/train.py:28):
+    # emit global grad/param L2 norms from the jitted step. Wired from the
+    # config's `wandb_watch:` block by the training CLI.
+    log_norms: bool = False
+    # Which tracked EMA profile validation/checkpoint-selection evaluates
+    # (generalizes the reference's single-profile swap, ema.py:83-106).
+    val_ema_index: int = 0
 
     def __post_init__(self) -> None:
         if self.use_ema and self.ema_length is None and not self.ema_lengths:
             raise ValueError("ema_length must be specified when use_ema is True.")
+        if self.use_ema:
+            n_profiles = len(self.ema_lengths or (self.ema_length,))
+            if not 0 <= self.val_ema_index < n_profiles:
+                raise ValueError(
+                    f"val_ema_index={self.val_ema_index} out of range for "
+                    f"{n_profiles} tracked EMA profile(s)"
+                )
         if self.sigma_data is not None and self.sigma_data != self.denoiser.sigma_data:
             # keep one source of truth, like the reference's
             # `sigma_data or denoiser.sigma_data` (edm.py:147)
@@ -87,6 +101,7 @@ class EDMSpec:
             steady_steps=self.steady_steps,
             scheduler_interval=self.scheduler_interval,
             accum_steps=self.accum_steps,
+            log_norms=self.log_norms,
         )
 
     def build_ema_config(self) -> Optional[EMAConfig]:

@@ -92,6 +92,7 @@ class Trainer:
                 self.model,
                 self.diffuser,
                 use_ema=self.use_ema and not spec.validate_original_weights,
+                ema_index=spec.val_ema_index,
             )
         )
         self._solve_cache: dict = {}
