@@ -22,6 +22,7 @@ from tinyedm_tpu.models.layers import (
     downsample_2x,
     upsample_2x,
 )
+from tinyedm_tpu.ops.dropout import mp_dropout
 from tinyedm_tpu.ops.mp import mp_add, mp_silu, pixel_norm
 
 Dtype = Any
@@ -72,7 +73,8 @@ class EncoderBlock(nn.Module):
         if not self.mod_fp32:
             res = res.astype(self.dtype)
         res = mp_silu(res)
-        res = nn.Dropout(self.dropout_rate, deterministic=not train)(res)
+        if train and self.dropout_rate > 0.0:
+            res = mp_dropout(self.make_rng("dropout"), res, self.dropout_rate)
         res = WNConv(self.out_channels, 3, dtype=self.dtype, name="conv_3x3_2")(res)
 
         out = mp_add(x, res, self.add_factor)
@@ -136,7 +138,8 @@ class DecoderBlock(nn.Module):
         if not self.mod_fp32:
             res = res.astype(self.dtype)
         res = mp_silu(res)
-        res = nn.Dropout(self.dropout_rate, deterministic=not train)(res)
+        if train and self.dropout_rate > 0.0:
+            res = mp_dropout(self.make_rng("dropout"), res, self.dropout_rate)
         res = WNConv(self.out_channels, 3, dtype=self.dtype, name="conv_3x3_2")(res)
 
         out = mp_add(x, res, self.add_factor)

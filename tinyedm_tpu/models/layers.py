@@ -75,6 +75,15 @@ class WNConv(nn.Module):
         fan_in = in_ch * k * k
         w_eff = weight_normalize(w) * (1.0 / math.sqrt(fan_in))
         x = x.astype(self.dtype)
+        if k == 1:
+            # 1x1 conv == per-pixel matmul; a direct dot keeps XLA on the
+            # plain GEMM path instead of the conv emitter
+            return jax.lax.dot_general(
+                x,
+                w_eff[0, 0].astype(self.dtype),
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=self.dtype,
+            )
         return jax.lax.conv_general_dilated(
             x,
             w_eff.astype(self.dtype),

@@ -134,20 +134,22 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, channels: int):
         ) * jnp.float32(scale)
         mx = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - mx)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (bb, n, n) fp32
-        p_c = p.astype(qn.dtype)
+        p_c = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qn.dtype)
 
         # All matmuls take compute-dtype operands with fp32 accumulation —
         # same mixed precision XLA's autodiff gives the einsum path, and 2x
-        # the MXU rate of fp32 operands.
+        # the MXU rate of fp32 operands. The softmax VJP uses the rounded
+        # p (compute dtype) so only ONE fp32 (n, n) tensor (dp) is live at
+        # a time — that bounds VMEM and allows larger batch chunks.
         dvn = jax.lax.dot_general(  # P^T g
             p_c, g, dimension_numbers=_BMM_NT, preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(  # g V^T
             g, vn, dimension_numbers=_BMM_TT, preferred_element_type=jnp.float32
         )
-        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = (p * (dp - delta) * jnp.float32(scale)).astype(qn.dtype)
+        p32 = p_c.astype(jnp.float32)
+        delta = jnp.sum(dp * p32, axis=-1, keepdims=True)
+        ds = (p32 * (dp - delta) * jnp.float32(scale)).astype(qn.dtype)
         dqn = jax.lax.dot_general(  # dS K
             ds, kn, dimension_numbers=_BMM_TN, preferred_element_type=jnp.float32
         )
@@ -192,9 +194,18 @@ def _fwd_impl(qkv: jnp.ndarray, heads: int, *, interpret: bool | None = None):
     channels = c3 // 3
     bb = _pick_bb(b, n, channels, bwd=False)
     kernel = functools.partial(_attn_fwd_kernel, heads=heads, channels=channels)
+    hd = channels // heads
+    # declare true costs so compiled.cost_analysis() (bench vs_baseline) and
+    # the scheduler see through the custom call: QK^T + PV = 4*n^2*hd MACs
+    cost = pl.CostEstimate(
+        flops=b * heads * 4 * n * n * hd,  # 2 dots x 2*n^2*hd FLOPs
+        bytes_accessed=b * n * 4 * channels * qkv.dtype.itemsize,
+        transcendentals=b * heads * n * n,
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, channels), qkv.dtype),
+        cost_estimate=cost,
         grid=(b // bb,),
         in_specs=[
             pl.BlockSpec((bb, n, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -213,9 +224,16 @@ def _bwd_impl(qkv, g, heads: int, *, interpret: bool | None = None):
     channels = c3 // 3
     bb = _pick_bb(b, n, channels, bwd=True)
     kernel = functools.partial(_attn_bwd_kernel, heads=heads, channels=channels)
+    hd = channels // heads
+    cost = pl.CostEstimate(
+        flops=b * heads * 12 * n * n * hd,  # softmax recompute + 5 VJP dots
+        bytes_accessed=b * n * 7 * channels * qkv.dtype.itemsize,
+        transcendentals=b * heads * n * n,
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, c3), qkv.dtype),
+        cost_estimate=cost,
         grid=(b // bb,),
         in_specs=[
             pl.BlockSpec((bb, n, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
