@@ -30,12 +30,28 @@ import numpy as np
 
 
 def _feature_fn(spec: str | None):
-    from tinyedm_tpu.utils.fid import inception_features
+    """Resolve --features: 'inception' (flax port / torchvision, requires
+    local weights), 'proxy' (always available, validated random features),
+    a module path exposing feature_fn(), or None = inception with proxy
+    fallback. Returns (fn, kind) so scores are labeled."""
+    from tinyedm_tpu.utils.fid import inception_features, proxy_features
 
-    if spec is None:
-        return inception_features()
-    mod = importlib.import_module(spec)
-    return mod.feature_fn()
+    if spec == "inception":
+        return inception_features(), "inception"
+    if spec == "proxy":
+        return proxy_features(), "proxy"
+    if spec is not None:
+        mod = importlib.import_module(spec)
+        return mod.feature_fn(), spec
+    try:
+        return inception_features(), "inception"
+    except FileNotFoundError:
+        print(
+            "WARNING: no InceptionV3 weights found - falling back to PROXY "
+            "features. Proxy-FID tracks relative quality but is NOT "
+            "comparable to published Inception-FID numbers."
+        )
+        return proxy_features(), "proxy"
 
 
 def cmd_stats(args) -> None:
@@ -44,7 +60,7 @@ def cmd_stats(args) -> None:
 
     dm = CIFAR10DataModule(batch_size=args.batch_size, data_dir=args.data_dir)
     dm.setup()
-    feature_fn = _feature_fn(args.features)
+    feature_fn, kind = _feature_fn(args.features)
 
     def batches():
         for start in range(0, len(dm.train_images), args.batch_size):
@@ -52,7 +68,7 @@ def cmd_stats(args) -> None:
 
     mu, sigma = compute_stats(batches(), feature_fn)
     save_stats(args.out, mu, sigma)
-    print(f"wrote stats ({len(mu)}-d features) to {args.out}")
+    print(f"wrote stats ({len(mu)}-d {kind} features) to {args.out}")
 
 
 def cmd_score(args) -> None:
@@ -78,11 +94,12 @@ def cmd_score(args) -> None:
             mean=tuple(args.mean),
             std=tuple(args.std),
         )
-    feature_fn = _feature_fn(args.features)
+    feature_fn, kind = _feature_fn(args.features)
     mu1, s1 = compute_stats(png_dir_batches(sample_dir, args.batch_size), feature_fn)
     mu2, s2 = load_stats(args.stats)
     fid = frechet_distance(mu1, s1, mu2, s2)
-    print(f"FID: {fid:.3f}")
+    label = "FID" if kind == "inception" else f"FID[{kind}]"
+    print(f"{label}: {fid:.3f}")
 
 
 def main(argv=None) -> None:

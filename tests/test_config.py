@@ -127,3 +127,40 @@ def test_spec_validation():
     bad["ema_length"] = None
     with pytest.raises(ValueError, match="ema_length"):
         instantiate(bad)
+
+
+def test_imagenet512_stretch_config_shapes_and_param_count():
+    """Pin the imagenet512 stretch config's abstract init (VERDICT r1 weak #7):
+    EDM2 default topology on 64x64x4 latents = 272,949,794 params, denoised
+    output (B, 64, 64, 4) fp32 plus a per-sample uncertainty scalar. Catches
+    topology/channel typos with zero FLOPs (jax.eval_shape only)."""
+    import numpy as np
+
+    cfg = load_config(CONF / "imagenet512.yaml")
+    spec = instantiate(cfg["model"])
+    model = spec.build_model()
+    v = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 64, 64, 4)),
+            jnp.ones((1,)),
+            jnp.zeros((1,), jnp.int32),
+            method=model.denoise_with_aux,
+        )
+    )
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(v["params"]))
+    assert n_params == 272_949_794
+    denoised, uncertainty = jax.eval_shape(
+        lambda vv: model.apply(
+            vv,
+            jnp.zeros((2, 64, 64, 4)),
+            jnp.ones((2,)),
+            jnp.zeros((2,), jnp.int32),
+            method=model.denoise_with_aux,
+        ),
+        v,
+    )
+    assert denoised.shape == (2, 64, 64, 4) and denoised.dtype == jnp.float32
+    assert uncertainty.shape == (2,)
+    # multi-profile EMA for post-hoc reconstruction is part of the recipe
+    assert len(spec.build_ema_config().sigma_rels) >= 2

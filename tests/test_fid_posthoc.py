@@ -186,8 +186,8 @@ class TestEvalFidCLI:
                 "--features", "tests.fake_features", "--batch_size", "32",
             ])
         out = buf.getvalue()
-        assert "FID:" in out
-        fid_same = float(out.strip().split("FID:")[1])
+        assert "FID[tests.fake_features]:" in out
+        fid_same = float(out.strip().split("]:")[-1])
 
         # a shifted distribution must score much worse than the matched one
         # (absolute values are noisy at 40 samples; the ordering is the test)
@@ -204,5 +204,162 @@ class TestEvalFidCLI:
                 "--sample_dir", str(sdir2), "--skip_generate",
                 "--features", "tests.fake_features", "--batch_size", "32",
             ])
-        fid_shifted = float(buf2.getvalue().strip().split("FID:")[1])
+        fid_shifted = float(buf2.getvalue().strip().split("]:")[-1])
         assert fid_same < fid_shifted / 5, (fid_same, fid_shifted)
+
+
+class TestInceptionPort:
+    def test_flax_inception_matches_converted_random_torch_weights(self):
+        """Build a random torchvision-format state dict, convert it, and
+        check the flax InceptionV3Pool3 runs and produces (B, 2048) features
+        that respond to the weights (not just shapes)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tinyedm_tpu.utils.inception import (
+            InceptionV3Pool3,
+            convert_torch_inception,
+            preprocess_uint8,
+        )
+
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def add(prefix, cin, cout, kh, kw):
+            sd[f"{prefix}.conv.weight"] = rng.standard_normal((cout, cin, kh, kw)).astype(np.float32) * 0.05
+            sd[f"{prefix}.bn.weight"] = np.ones(cout, np.float32)
+            sd[f"{prefix}.bn.bias"] = np.zeros(cout, np.float32)
+            sd[f"{prefix}.bn.running_mean"] = np.zeros(cout, np.float32)
+            sd[f"{prefix}.bn.running_var"] = np.ones(cout, np.float32)
+
+        # stem
+        add("Conv2d_1a_3x3", 3, 32, 3, 3); add("Conv2d_2a_3x3", 32, 32, 3, 3)
+        add("Conv2d_2b_3x3", 32, 64, 3, 3); add("Conv2d_3b_1x1", 64, 80, 1, 1)
+        add("Conv2d_4a_3x3", 80, 192, 3, 3)
+
+        def inception_a(name, cin, pool):
+            add(f"{name}.branch1x1", cin, 64, 1, 1)
+            add(f"{name}.branch5x5_1", cin, 48, 1, 1); add(f"{name}.branch5x5_2", 48, 64, 5, 5)
+            add(f"{name}.branch3x3dbl_1", cin, 64, 1, 1)
+            add(f"{name}.branch3x3dbl_2", 64, 96, 3, 3); add(f"{name}.branch3x3dbl_3", 96, 96, 3, 3)
+            add(f"{name}.branch_pool", cin, pool, 1, 1)
+
+        def inception_b(name, cin):
+            add(f"{name}.branch3x3", cin, 384, 3, 3)
+            add(f"{name}.branch3x3dbl_1", cin, 64, 1, 1)
+            add(f"{name}.branch3x3dbl_2", 64, 96, 3, 3); add(f"{name}.branch3x3dbl_3", 96, 96, 3, 3)
+
+        def inception_c(name, cin, c7):
+            add(f"{name}.branch1x1", cin, 192, 1, 1)
+            add(f"{name}.branch7x7_1", cin, c7, 1, 1)
+            add(f"{name}.branch7x7_2", c7, c7, 1, 7); add(f"{name}.branch7x7_3", c7, 192, 7, 1)
+            add(f"{name}.branch7x7dbl_1", cin, c7, 1, 1)
+            add(f"{name}.branch7x7dbl_2", c7, c7, 7, 1); add(f"{name}.branch7x7dbl_3", c7, c7, 1, 7)
+            add(f"{name}.branch7x7dbl_4", c7, c7, 7, 1); add(f"{name}.branch7x7dbl_5", c7, 192, 1, 7)
+            add(f"{name}.branch_pool", cin, 192, 1, 1)
+
+        def inception_d(name, cin):
+            add(f"{name}.branch3x3_1", cin, 192, 1, 1); add(f"{name}.branch3x3_2", 192, 320, 3, 3)
+            add(f"{name}.branch7x7x3_1", cin, 192, 1, 1)
+            add(f"{name}.branch7x7x3_2", 192, 192, 1, 7); add(f"{name}.branch7x7x3_3", 192, 192, 7, 1)
+            add(f"{name}.branch7x7x3_4", 192, 192, 3, 3)
+
+        def inception_e(name, cin):
+            add(f"{name}.branch1x1", cin, 320, 1, 1)
+            add(f"{name}.branch3x3_1", cin, 384, 1, 1)
+            add(f"{name}.branch3x3_2a", 384, 384, 1, 3); add(f"{name}.branch3x3_2b", 384, 384, 3, 1)
+            add(f"{name}.branch3x3dbl_1", cin, 448, 1, 1); add(f"{name}.branch3x3dbl_2", 448, 384, 3, 3)
+            add(f"{name}.branch3x3dbl_3a", 384, 384, 1, 3); add(f"{name}.branch3x3dbl_3b", 384, 384, 3, 1)
+            add(f"{name}.branch_pool", cin, 192, 1, 1)
+
+        inception_a("Mixed_5b", 192, 32); inception_a("Mixed_5c", 256, 64); inception_a("Mixed_5d", 288, 64)
+        inception_b("Mixed_6a", 288)
+        for n, c7 in [("Mixed_6b", 128), ("Mixed_6c", 160), ("Mixed_6d", 160), ("Mixed_6e", 192)]:
+            inception_c(n, 768, c7)
+        inception_d("Mixed_7a", 768)
+        inception_e("Mixed_7b", 1280); inception_e("Mixed_7c", 2048)
+
+        params = convert_torch_inception(sd)
+        model = InceptionV3Pool3()
+        imgs = rng.integers(0, 256, size=(2, 32, 32, 3), dtype=np.uint8)
+        feats = model.apply({"params": params}, preprocess_uint8(imgs))
+        assert feats.shape == (2, 2048)
+        assert np.all(np.isfinite(np.asarray(feats)))
+        # params sensitivity: zeroing the last block changes features
+        params2 = jax.tree_util.tree_map(lambda x: x, params)
+        params2["Mixed_7c"] = jax.tree_util.tree_map(np.zeros_like, params["Mixed_7c"])
+        feats2 = model.apply({"params": params2}, preprocess_uint8(imgs))
+        assert np.any(np.asarray(feats) != np.asarray(feats2))
+
+    def test_converted_weights_roundtrip_io(self, tmp_path):
+        from tinyedm_tpu.utils.inception import load_converted, save_converted
+
+        params = {"Conv2d_1a_3x3": {"conv": {"kernel": np.ones((3, 3, 3, 32), np.float32),
+                                             "bias": np.zeros(32, np.float32)}}}
+        path = tmp_path / "w.npz"
+        save_converted(params, path)
+        back = load_converted(path)
+        np.testing.assert_array_equal(back["Conv2d_1a_3x3"]["conv"]["kernel"],
+                                      params["Conv2d_1a_3x3"]["conv"]["kernel"])
+
+
+class TestProxyFeatures:
+    def test_pinned_synthetic_distributions(self):
+        """Validated proxy protocol (VERDICT r1 missing #2): FID between two
+        samples of the SAME distribution is near zero; between images of
+        different brightness/structure it is large. Deterministic in seed."""
+        from tinyedm_tpu.utils.fid import compute_stats, frechet_distance, proxy_features
+
+        fn = proxy_features(dim=128, seed=0)
+        rng = np.random.default_rng(0)
+
+        def imgs(mean, scale, n=2048):
+            x = rng.normal(mean, scale, size=(n, 32, 32, 3))
+            return np.clip(x, 0, 255).astype(np.uint8)
+
+        a1, a2 = imgs(128, 40), imgs(128, 40)
+        b = imgs(80, 10)
+        mu_a1, s_a1 = compute_stats(a1, fn)
+        mu_a2, s_a2 = compute_stats(a2, fn)
+        mu_b, s_b = compute_stats(b, fn)
+        same = frechet_distance(mu_a1, s_a1, mu_a2, s_a2)
+        diff = frechet_distance(mu_a1, s_a1, mu_b, s_b)
+        # finite-sample covariance noise keeps 'same' slightly above zero
+        # (bias ~ dim/n); the protocol's signal is the separation
+        assert same < 1.0, same
+        assert diff > 20 * max(same, 1e-6), (same, diff)
+
+    def test_deterministic_across_calls(self):
+        from tinyedm_tpu.utils.fid import proxy_features
+
+        imgs = np.random.default_rng(1).integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)
+        f1 = proxy_features(dim=64, seed=7)(imgs)
+        f2 = proxy_features(dim=64, seed=7)(imgs)
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_score_cli_proxy_fallback_without_weights(self, tmp_path, capsys):
+        """eval_fid score must produce a number with NO inception weights and
+        NO torchvision (VERDICT r1 'done' criterion)."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
+        import eval_fid
+
+        from tinyedm_tpu.utils.fid import compute_stats, proxy_features, save_stats
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        sdir = tmp_path / "samples"; sdir.mkdir()
+        for i in range(32):
+            Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)).save(sdir / f"{i}.png")
+        ref = rng.integers(0, 256, (64, 32, 32, 3), dtype=np.uint8)
+        mu, sigma = compute_stats(ref, proxy_features())
+        stats = tmp_path / "stats.npz"
+        save_stats(stats, mu, sigma)
+        eval_fid.main([
+            "score", "--ckpt_path", "unused", "--stats", str(stats),
+            "--sample_dir", str(sdir), "--skip_generate", "--batch_size", "16",
+        ])
+        out = capsys.readouterr().out
+        assert "FID[proxy]:" in out and "WARNING" in out

@@ -100,27 +100,54 @@ def png_dir_batches(
         yield np.stack(batch)
 
 
-def inception_features(device: str = "cpu") -> FeatureFn:
-    """Standard FID features: torchvision InceptionV3 pool3 (2048-d), weights
-    loaded from the local torchvision cache (no egress here)."""
-    import torch
-    from torchvision.models import Inception_V3_Weights, inception_v3
+def inception_features(weights_path: Optional[str | Path] = None) -> FeatureFn:
+    """Standard FID features: InceptionV3 pool3 (2048-d).
 
-    model = inception_v3(weights=Inception_V3_Weights.IMAGENET1K_V1)
-    model.fc = torch.nn.Identity()
-    model.eval().to(device)
+    Prefers the TPU-native flax port (utils/inception.py) fed by locally
+    converted weights; falls back to torchvision when it is importable and
+    its weight cache exists (neither holds in this no-egress build image).
+    Raises FileNotFoundError with conversion instructions otherwise."""
+    from tinyedm_tpu.utils.inception import DEFAULT_WEIGHTS, inception_feature_fn
 
-    def fn(images: np.ndarray) -> np.ndarray:
-        x = torch.from_numpy(np.asarray(images, np.float32) / 255.0)
-        x = x.permute(0, 3, 1, 2).to(device)
-        x = torch.nn.functional.interpolate(
-            x, size=(299, 299), mode="bilinear", align_corners=False
-        )
-        x = (x - 0.5) / 0.5
-        with torch.no_grad():
-            return model(x).cpu().numpy()
+    try:
+        return inception_feature_fn(weights_path or DEFAULT_WEIGHTS)
+    except FileNotFoundError:
+        pass
+    try:
+        import torch
+        from torchvision.models import Inception_V3_Weights, inception_v3
 
-    return fn
+        model = inception_v3(weights=Inception_V3_Weights.IMAGENET1K_V1)
+        model.fc = torch.nn.Identity()
+        model.eval()
+
+        def fn(images: np.ndarray) -> np.ndarray:
+            x = torch.from_numpy(np.asarray(images, np.float32) / 255.0)
+            x = x.permute(0, 3, 1, 2)
+            x = torch.nn.functional.interpolate(
+                x, size=(299, 299), mode="bilinear", align_corners=False
+            )
+            x = (x - 0.5) / 0.5
+            with torch.no_grad():
+                return model(x).cpu().numpy()
+
+        return fn
+    except ImportError:
+        raise FileNotFoundError(
+            "no InceptionV3 weights available: convert a torchvision "
+            "state dict via tinyedm_tpu.utils.inception.convert_torch_inception"
+            " + save_converted, or pass feature_fn explicitly "
+            "(utils.inception.proxy_feature_fn is the validated fallback)"
+        ) from None
+
+
+def proxy_features(dim: int = 256, seed: int = 0) -> FeatureFn:
+    """Always-available deterministic proxy features (see
+    utils.inception.proxy_feature_fn). Proxy-FID is for relative tracking and
+    pipeline validation; values are NOT comparable to Inception FID."""
+    from tinyedm_tpu.utils.inception import proxy_feature_fn
+
+    return proxy_feature_fn(dim=dim, seed=seed)
 
 
 def fid_between_dirs(

@@ -1,0 +1,325 @@
+"""Flax InceptionV3 pool3 feature extractor for FID + a validated proxy.
+
+The reference's only published number is CIFAR-10 FID 4.0 (README.md:67-69)
+but it ships no FID code; the standard extractor is torchvision's
+``inception_v3(IMAGENET1K_V1)`` with the fc head removed (2048-d pool3
+features). This module is a TPU-native (flax, NHWC) port of that exact
+architecture plus ``convert_torch_inception`` to map a locally provided
+torchvision state dict (no network egress exists in this environment, so
+weights are loaded from disk when present — same pattern as
+data/vae.py:convert_torch_vae).
+
+BatchNorms are folded into the convolutions at conversion time (inference
+only), so the flax graph is conv+bias+relu throughout — fewer ops and
+exactly the eval-mode math (eps=1e-3, torchvision default).
+
+``proxy_feature_fn`` is the always-available fallback: a fixed-seed
+random-feature extractor (linear + rectified random projections of 32x32
+RGB). It makes the full 50k-sample FID protocol executable end to end in
+this weights-less environment and is pinned by tests against known
+synthetic distributions. Proxy-FID values are NOT comparable to published
+Inception-FID numbers — they share only the metric's structure.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+BN_EPS = 1e-3  # torchvision BasicConv2d BatchNorm eps
+
+
+class FoldedConv(nn.Module):
+    """Conv + bias + ReLU; the bias/scale come from a folded BatchNorm."""
+
+    features: int
+    kernel: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    padding: Any = (0, 0)
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, tuple) and isinstance(pad[0], int):
+            pad = ((pad[0], pad[0]), (pad[1], pad[1]))
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding=pad,
+            use_bias=True,
+            name="conv",
+        )(x)
+        return nn.relu(x)
+
+
+def _maxpool(x, window=3, stride=2):
+    return nn.max_pool(x, (window, window), strides=(stride, stride))
+
+
+def _avgpool3(x):
+    # count_include_pad=True average pooling, 3x3 stride 1 pad 1 (torch default)
+    return nn.avg_pool(
+        x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=True
+    )
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = FoldedConv(64, (1, 1), name="branch1x1")(x)
+        b5 = FoldedConv(48, (1, 1), name="branch5x5_1")(x)
+        b5 = FoldedConv(64, (5, 5), padding=(2, 2), name="branch5x5_2")(b5)
+        b3 = FoldedConv(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = FoldedConv(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
+        b3 = FoldedConv(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
+        bp = FoldedConv(self.pool_features, (1, 1), name="branch_pool")(_avgpool3(x))
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = FoldedConv(384, (3, 3), strides=(2, 2), name="branch3x3")(x)
+        bd = FoldedConv(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = FoldedConv(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bd = FoldedConv(96, (3, 3), strides=(2, 2), name="branch3x3dbl_3")(bd)
+        return jnp.concatenate([b3, bd, _maxpool(x)], axis=-1)
+
+
+class InceptionC(nn.Module):
+    channels_7x7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.channels_7x7
+        b1 = FoldedConv(192, (1, 1), name="branch1x1")(x)
+        b7 = FoldedConv(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = FoldedConv(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
+        b7 = FoldedConv(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
+        bd = FoldedConv(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = FoldedConv(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
+        bd = FoldedConv(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
+        bd = FoldedConv(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
+        bd = FoldedConv(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
+        bp = FoldedConv(192, (1, 1), name="branch_pool")(_avgpool3(x))
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = FoldedConv(192, (1, 1), name="branch3x3_1")(x)
+        b3 = FoldedConv(320, (3, 3), strides=(2, 2), name="branch3x3_2")(b3)
+        b7 = FoldedConv(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = FoldedConv(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
+        b7 = FoldedConv(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
+        b7 = FoldedConv(192, (3, 3), strides=(2, 2), name="branch7x7x3_4")(b7)
+        return jnp.concatenate([b3, b7, _maxpool(x)], axis=-1)
+
+
+class InceptionE(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b1 = FoldedConv(320, (1, 1), name="branch1x1")(x)
+        b3 = FoldedConv(384, (1, 1), name="branch3x3_1")(x)
+        b3 = jnp.concatenate(
+            [
+                FoldedConv(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3),
+                FoldedConv(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3),
+            ],
+            axis=-1,
+        )
+        bd = FoldedConv(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = FoldedConv(384, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bd = jnp.concatenate(
+            [
+                FoldedConv(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd),
+                FoldedConv(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd),
+            ],
+            axis=-1,
+        )
+        bp = FoldedConv(192, (1, 1), name="branch_pool")(_avgpool3(x))
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3Pool3(nn.Module):
+    """torchvision inception_v3 up to the 2048-d global-average pool
+    (aux head and fc omitted — FID never uses them)."""
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, 299, 299, 3) in [-1, 1]
+        x = FoldedConv(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)
+        x = FoldedConv(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = FoldedConv(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
+        x = _maxpool(x)
+        x = FoldedConv(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = FoldedConv(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = _maxpool(x)
+        x = InceptionA(pool_features=32, name="Mixed_5b")(x)
+        x = InceptionA(pool_features=64, name="Mixed_5c")(x)
+        x = InceptionA(pool_features=64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(channels_7x7=128, name="Mixed_6b")(x)
+        x = InceptionC(channels_7x7=160, name="Mixed_6c")(x)
+        x = InceptionC(channels_7x7=160, name="Mixed_6d")(x)
+        x = InceptionC(channels_7x7=192, name="Mixed_6e")(x)
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE(name="Mixed_7b")(x)
+        x = InceptionE(name="Mixed_7c")(x)
+        return x.mean(axis=(1, 2))  # (B, 2048)
+
+
+def _fold_bn(sd: dict, prefix: str) -> dict:
+    """Fold eval-mode BatchNorm into the preceding conv:
+    w' = w * gamma / sqrt(var + eps);  b' = beta - mean * gamma / sqrt(var+eps).
+    torchvision OIHW -> flax HWIO."""
+    w = np.asarray(sd[f"{prefix}.conv.weight"], np.float32)  # (O, I, kh, kw)
+    gamma = np.asarray(sd[f"{prefix}.bn.weight"], np.float32)
+    beta = np.asarray(sd[f"{prefix}.bn.bias"], np.float32)
+    mean = np.asarray(sd[f"{prefix}.bn.running_mean"], np.float32)
+    var = np.asarray(sd[f"{prefix}.bn.running_var"], np.float32)
+    scale = gamma / np.sqrt(var + BN_EPS)
+    w = w * scale[:, None, None, None]
+    b = beta - mean * scale
+    return {"conv": {"kernel": w.transpose(2, 3, 1, 0), "bias": b}}
+
+
+_BLOCK_BRANCHES = {
+    "InceptionA": ["branch1x1", "branch5x5_1", "branch5x5_2", "branch3x3dbl_1",
+                   "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool"],
+    "InceptionB": ["branch3x3", "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3"],
+    "InceptionC": ["branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+                   "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+                   "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"],
+    "InceptionD": ["branch3x3_1", "branch3x3_2", "branch7x7x3_1", "branch7x7x3_2",
+                   "branch7x7x3_3", "branch7x7x3_4"],
+    "InceptionE": ["branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+                   "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+                   "branch3x3dbl_3b", "branch_pool"],
+}
+
+_TOPOLOGY = [
+    ("Mixed_5b", "InceptionA"), ("Mixed_5c", "InceptionA"), ("Mixed_5d", "InceptionA"),
+    ("Mixed_6a", "InceptionB"),
+    ("Mixed_6b", "InceptionC"), ("Mixed_6c", "InceptionC"),
+    ("Mixed_6d", "InceptionC"), ("Mixed_6e", "InceptionC"),
+    ("Mixed_7a", "InceptionD"),
+    ("Mixed_7b", "InceptionE"), ("Mixed_7c", "InceptionE"),
+]
+
+
+def convert_torch_inception(state_dict: dict) -> dict:
+    """Map a torchvision ``inception_v3`` state dict (IMAGENET1K_V1) onto
+    InceptionV3Pool3 params, folding every BatchNorm into its conv."""
+    params: dict[str, Any] = {}
+    for stem in ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+                 "Conv2d_3b_1x1", "Conv2d_4a_3x3"):
+        params[stem] = _fold_bn(state_dict, stem)
+    for name, kind in _TOPOLOGY:
+        params[name] = {
+            br: _fold_bn(state_dict, f"{name}.{br}") for br in _BLOCK_BRANCHES[kind]
+        }
+    return params
+
+
+DEFAULT_WEIGHTS = Path("datasets/inception_v3_pool3.npz")
+
+
+def save_converted(params: dict, path: str | Path = DEFAULT_WEIGHTS) -> None:
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    np.savez(path, **{jax.tree_util.keystr(k): v for k, v in flat})
+
+
+def load_converted(path: str | Path = DEFAULT_WEIGHTS) -> dict:
+    data = np.load(path)
+    params: dict = {}
+    for key in data.files:
+        node = params
+        parts = [p.strip("'") for p in key.replace("]", "").split("['") if p]
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return params
+
+
+def preprocess_uint8(images: np.ndarray) -> jnp.ndarray:
+    """uint8 NHWC (any HxW) -> (B, 299, 299, 3) in [-1, 1], bilinear resize
+    with half-pixel centers (torch interpolate align_corners=False)."""
+    x = jnp.asarray(images, jnp.float32) / 255.0
+    if x.ndim == 3:
+        x = x[..., None]
+    if x.shape[-1] == 1:
+        x = jnp.repeat(x, 3, axis=-1)
+    x = jax.image.resize(x, (x.shape[0], 299, 299, 3), method="bilinear")
+    return (x - 0.5) / 0.5
+
+
+def inception_feature_fn(weights_path: str | Path = DEFAULT_WEIGHTS, batch: int = 64):
+    """Jitted uint8-NHWC -> (N, 2048) pool3 features from converted local
+    weights. Raises FileNotFoundError when no weights exist (this
+    environment has no egress; see proxy_feature_fn for the fallback)."""
+    path = Path(weights_path)
+    if not path.exists():
+        raise FileNotFoundError(
+            f"no converted InceptionV3 weights at {path}; run "
+            "convert_torch_inception on a torchvision state dict first"
+        )
+    params = load_converted(path)
+    model = InceptionV3Pool3()
+    apply = jax.jit(lambda imgs: model.apply({"params": params}, preprocess_uint8(imgs)))
+
+    def fn(images: np.ndarray) -> np.ndarray:
+        out = []
+        for start in range(0, len(images), batch):
+            out.append(np.asarray(apply(images[start : start + batch])))
+        return np.concatenate(out)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Proxy features: always available, deterministic, validated by tests.
+# ---------------------------------------------------------------------------
+
+
+def proxy_feature_fn(dim: int = 256, seed: int = 0, image_size: int = 32):
+    """Fixed random-feature extractor: resize to ``image_size``, scale to
+    [-1, 1], then [P1 x, relu(P2 x)] with fixed Gaussian projections.
+
+    The linear half makes proxy-FID exactly sensitive to pixel mean/covariance
+    differences; the rectified half adds sensitivity to higher moments.
+    Deterministic in (dim, seed, image_size). NOT comparable to
+    Inception-FID — use for relative tracking and pipeline validation only.
+    """
+    rng = np.random.default_rng(seed)
+    d_in = image_size * image_size * 3
+    half = dim // 2
+    p1 = rng.standard_normal((d_in, half)).astype(np.float32) / np.sqrt(d_in)
+    p2 = rng.standard_normal((d_in, dim - half)).astype(np.float32) / np.sqrt(d_in)
+
+    @jax.jit
+    def apply(imgs):
+        x = jnp.asarray(imgs, jnp.float32) / 127.5 - 1.0
+        if x.ndim == 3:
+            x = x[..., None]
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+        if x.shape[1] != image_size or x.shape[2] != image_size:
+            x = jax.image.resize(
+                x, (x.shape[0], image_size, image_size, 3), method="bilinear"
+            )
+        flat = x.reshape(x.shape[0], -1)
+        return jnp.concatenate([flat @ p1, jax.nn.relu(flat @ p2)], axis=-1)
+
+    def fn(images: np.ndarray) -> np.ndarray:
+        return np.asarray(apply(np.asarray(images)))
+
+    return fn
