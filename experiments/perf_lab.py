@@ -76,6 +76,8 @@ def apply_ablation(name: str) -> None:
         return
     if name == "no_dropout":
         return  # handled via config
+    if name == "scan_blocks":
+        return  # handled via config
     if name == "no_emamod":
         return  # handled in build
     raise ValueError(f"unknown ablation {name}")
@@ -96,6 +98,8 @@ def build_and_time(ablation: str) -> tuple[float, float]:
     cfg = load_config("experiments/conf/cifar10.yaml")
     if ablation == "no_dropout":
         cfg["model"]["denoiser"]["dropout_rate"] = 0.0
+    if ablation == "scan_blocks":
+        cfg["model"]["denoiser"]["scan_blocks"] = True
     spec = instantiate(cfg["model"])
     model = spec.build_model()
     opt_cfg = spec.build_optimizer_config()

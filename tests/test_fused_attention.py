@@ -106,7 +106,7 @@ def test_pick_bb_divides_batch():
     for b in (1, 2, 3, 6, 8, 32, 256):
         for n in (16, 64, 256, 512):
             for bwd in (False, True):
-                bb = _pick_bb(b, n, 256, bwd)
+                bb = _pick_bb(b, n, 256, 4, bwd)
                 assert b % bb == 0
 
 

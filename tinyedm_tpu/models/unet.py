@@ -29,6 +29,89 @@ from tinyedm_tpu.ops.precond import edm_precond
 Dtype = Any
 
 
+class _EncoderScanCell(nn.Module):
+    """lax.scan cell wrapping one EncoderBlock: carry = (x, embedding),
+    per-iteration output = the block output (pushed as a skip)."""
+
+    out_channels: int
+    attention: bool
+    num_heads: int
+    dropout_rate: float
+    add_factor: float
+    dtype: Dtype
+    use_pallas_attention: bool
+    mod_fp32: bool
+    remat: bool
+    train: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, emb = carry
+        cls = (
+            nn.remat(EncoderBlock, static_argnums=(3,)) if self.remat else EncoderBlock
+        )
+        y = cls(
+            out_channels=self.out_channels,
+            down=False,
+            attention=self.attention,
+            num_heads=self.num_heads,
+            dropout_rate=self.dropout_rate,
+            add_factor=self.add_factor,
+            dtype=self.dtype,
+            use_pallas_attention=self.use_pallas_attention,
+            mod_fp32=self.mod_fp32,
+            name="block",
+        )(x, emb, self.train)
+        return (y, emb), y
+
+
+class _DecoderScanCell(nn.Module):
+    """lax.scan cell wrapping one DecoderBlock: carry = (x, embedding),
+    per-iteration input = that block's skip tensor (or None)."""
+
+    out_channels: int
+    attention: bool
+    num_heads: int
+    dropout_rate: float
+    add_factor: float
+    dtype: Dtype
+    use_pallas_attention: bool
+    mod_fp32: bool
+    remat: bool
+    train: bool
+
+    @nn.compact
+    def __call__(self, carry, skip):
+        x, emb = carry
+        cls = (
+            nn.remat(DecoderBlock, static_argnums=(4,)) if self.remat else DecoderBlock
+        )
+        y = cls(
+            out_channels=self.out_channels,
+            up=False,
+            attention=self.attention,
+            num_heads=self.num_heads,
+            dropout_rate=self.dropout_rate,
+            add_factor=self.add_factor,
+            dtype=self.dtype,
+            use_pallas_attention=self.use_pallas_attention,
+            mod_fp32=self.mod_fp32,
+            name="block",
+        )(x, emb, skip, self.train)
+        return (y, emb), None
+
+
+def _scan_cell(cell_cls, length: int):
+    """nn.scan a block cell: params stacked on axis 0, per-iteration param
+    slices and dropout rngs (same distribution as the unrolled form)."""
+    return nn.scan(
+        cell_cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        length=length,
+    )
+
+
 class Denoiser(nn.Module):
     """EDM-preconditioned U-Net: D(x; sigma) = c_skip*x + c_out*F(c_in*x, emb).
 
@@ -60,6 +143,15 @@ class Denoiser(nn.Module):
     # ~33% extra forward FLOPs for O(depth) less activation memory — for
     # batch/resolution scales where activations would not fit HBM
     remat: bool = False
+    # Compile-time lever (ROADMAP 3): fold runs of identical consecutive
+    # blocks (same type/channels, no resampling, uniform skip usage) into
+    # one nn.scan with axis-0-stacked parameters — the XLA graph then
+    # contains each distinct block body once instead of once per block,
+    # cutting cold-compile time for deep topologies. Changes the checkpoint
+    # tree (scanned groups live under {encoder,decoder}_scan_{start}); see
+    # utils.interop.migrate_params_to_scanned for converting existing
+    # checkpoints. Numerics are identical to the unrolled form.
+    scan_blocks: bool = False
 
     def setup(self) -> None:
         validate_topology(
@@ -87,56 +179,117 @@ class Denoiser(nn.Module):
         x = jnp.concatenate([x, ones], axis=-1)
         x = WNConv(self.encoder_out_channels[0], 3, dtype=self.dtype, name="conv_in")(x)
 
+        enc_types = list(self.encoder_block_types)
+        enc_ch = list(self.encoder_out_channels)
         skips = [x]
-        for i, (btype, ch) in enumerate(
-            zip(self.encoder_block_types, self.encoder_out_channels)
-        ):
-            down, attn = parse_block_type(btype)
-            enc_cls = (
-                nn.remat(EncoderBlock, static_argnums=(3,))
-                if self.remat
-                else EncoderBlock
-            )
-            x = enc_cls(
-                out_channels=ch,
-                down=down,
-                attention=attn,
-                num_heads=self.num_heads,
-                dropout_rate=self.dropout_rate,
-                add_factor=self.encoder_add_factor,
-                dtype=self.dtype,
-                use_pallas_attention=self.use_pallas_attention,
-                mod_fp32=self.mod_fp32,
-                name=f"encoder_blocks_{i}",
-            )(x, embedding, train)
-            skips.append(x)
+        i = 0
+        while i < len(enc_types):
+            down, attn = parse_block_type(enc_types[i])
+            ch = enc_ch[i]
+            length = 1
+            if self.scan_blocks and not down and x.shape[-1] == ch:
+                while (
+                    i + length < len(enc_types)
+                    and enc_types[i + length] == enc_types[i]
+                    and enc_ch[i + length] == ch
+                ):
+                    length += 1
+            if length > 1:
+                (x, _), ys = _scan_cell(_EncoderScanCell, length)(
+                    out_channels=ch,
+                    attention=attn,
+                    num_heads=self.num_heads,
+                    dropout_rate=self.dropout_rate,
+                    add_factor=self.encoder_add_factor,
+                    dtype=self.dtype,
+                    use_pallas_attention=self.use_pallas_attention,
+                    mod_fp32=self.mod_fp32,
+                    remat=self.remat,
+                    train=train,
+                    name=f"encoder_scan_{i}",
+                )((x, embedding), None)
+                skips.extend(ys[k] for k in range(length))
+            else:
+                enc_cls = (
+                    nn.remat(EncoderBlock, static_argnums=(3,))
+                    if self.remat
+                    else EncoderBlock
+                )
+                x = enc_cls(
+                    out_channels=ch,
+                    down=down,
+                    attention=attn,
+                    num_heads=self.num_heads,
+                    dropout_rate=self.dropout_rate,
+                    add_factor=self.encoder_add_factor,
+                    dtype=self.dtype,
+                    use_pallas_attention=self.use_pallas_attention,
+                    mod_fp32=self.mod_fp32,
+                    name=f"encoder_blocks_{i}",
+                )(x, embedding, train)
+                skips.append(x)
+            i += length
 
-        for i, (btype, ch, has_skip) in enumerate(
-            zip(
-                self.decoder_block_types,
-                self.decoder_out_channels,
-                self.skip_connections,
-            )
-        ):
-            up, attn = parse_block_type(btype)
-            skip = skips.pop() if has_skip else None
-            dec_cls = (
-                nn.remat(DecoderBlock, static_argnums=(4,))
-                if self.remat
-                else DecoderBlock
-            )
-            x = dec_cls(
-                out_channels=ch,
-                up=up,
-                attention=attn,
-                num_heads=self.num_heads,
-                dropout_rate=self.dropout_rate,
-                add_factor=self.decoder_add_factor,
-                dtype=self.dtype,
-                use_pallas_attention=self.use_pallas_attention,
-                mod_fp32=self.mod_fp32,
-                name=f"decoder_blocks_{i}",
-            )(x, embedding, skip, train)
+        dec_types = list(self.decoder_block_types)
+        dec_ch = list(self.decoder_out_channels)
+        dec_skip = list(self.skip_connections)
+        i = 0
+        while i < len(dec_types):
+            up, attn = parse_block_type(dec_types[i])
+            ch = dec_ch[i]
+            has_skip = dec_skip[i]
+            length = 1
+            if self.scan_blocks and not up and x.shape[-1] == ch:
+                while (
+                    i + length < len(dec_types)
+                    and dec_types[i + length] == dec_types[i]
+                    and dec_ch[i + length] == ch
+                    and dec_skip[i + length] == has_skip
+                    and (
+                        not has_skip
+                        or skips[-(length + 1)].shape == skips[-1].shape
+                    )
+                ):
+                    length += 1
+            if length > 1:
+                skip_stack = (
+                    jnp.stack([skips.pop() for _ in range(length)])
+                    if has_skip
+                    else None
+                )
+                (x, _), _ = _scan_cell(_DecoderScanCell, length)(
+                    out_channels=ch,
+                    attention=attn,
+                    num_heads=self.num_heads,
+                    dropout_rate=self.dropout_rate,
+                    add_factor=self.decoder_add_factor,
+                    dtype=self.dtype,
+                    use_pallas_attention=self.use_pallas_attention,
+                    mod_fp32=self.mod_fp32,
+                    remat=self.remat,
+                    train=train,
+                    name=f"decoder_scan_{i}",
+                )((x, embedding), skip_stack)
+            else:
+                skip = skips.pop() if has_skip else None
+                dec_cls = (
+                    nn.remat(DecoderBlock, static_argnums=(4,))
+                    if self.remat
+                    else DecoderBlock
+                )
+                x = dec_cls(
+                    out_channels=ch,
+                    up=up,
+                    attention=attn,
+                    num_heads=self.num_heads,
+                    dropout_rate=self.dropout_rate,
+                    add_factor=self.decoder_add_factor,
+                    dtype=self.dtype,
+                    use_pallas_attention=self.use_pallas_attention,
+                    mod_fp32=self.mod_fp32,
+                    name=f"decoder_blocks_{i}",
+                )(x, embedding, skip, train)
+            i += length
 
         gain_out = self.param("gain_out", nn.initializers.zeros, ())
         out = WNConv(self.out_channels, 1, dtype=self.dtype, name="conv_out")(x)

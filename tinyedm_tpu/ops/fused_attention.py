@@ -170,17 +170,22 @@ def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, channels: int):
     _for_each_head(heads, head)
 
 
-def _pick_bb(b: int, n: int, channels: int, bwd: bool) -> int:
+def _pick_bb(b: int, n: int, channels: int, heads: int, bwd: bool) -> int:
     """Largest batch-chunk (divisor of b) fitting VMEM (16 MB/core).
 
-    Live per step: the (bb, n, 3C)/(bb, n, C) blocks (double-buffered) plus
-    ONE head's fp32 intermediates (the head loop is liveness-scoped): ~2
-    (bb, n, n) tensors forward, ~3 backward, plus (bb, n, hd) casts."""
-    # Empirically tuned on v5e (bigger chunks amortize the per-matmul MXU
-    # drain; the (bb, n, n) fp32 softmax terms bound it from above — the
-    # backward holds three of them plus dqkv blocks, so its cap is ~4x lower).
-    k = (4 if bwd else 8) * 65536
-    cap = min(16, max(1, k // (n * n)))
+    Per-sample live bytes per grid step: the IO blocks (qkv 3C + out C
+    forward; + g C + dqkv 3C backward, all compute dtype) plus ONE head's
+    intermediates (the head loop is liveness-scoped): ~2 fp32 (n, n)
+    softmax tensors forward / ~3 backward, plus fp32 (n, hd) casts.
+    Calibrated on v5e: bb=8 fwd / bb=4 bwd compile at n=256 C=256, one
+    step larger OOMs."""
+    hd = channels // heads
+    io_ch = 7 * channels if bwd else 4 * channels
+    nn_terms = 3 if bwd else 2
+    casts = 12 if bwd else 6
+    per_sample = n * io_ch * 2 + nn_terms * n * n * 4 + casts * n * hd * 4
+    budget = 14 * 1024 * 1024
+    cap = min(16, max(1, budget // max(per_sample, 1)))
     for bb in (16, 8, 4, 2, 1):
         if b % bb == 0 and bb <= cap:
             return bb
@@ -192,7 +197,7 @@ def _fwd_impl(qkv: jnp.ndarray, heads: int, *, interpret: bool | None = None):
         interpret = jax.default_backend() != "tpu"
     b, n, c3 = qkv.shape
     channels = c3 // 3
-    bb = _pick_bb(b, n, channels, bwd=False)
+    bb = _pick_bb(b, n, channels, heads, bwd=False)
     kernel = functools.partial(_attn_fwd_kernel, heads=heads, channels=channels)
     hd = channels // heads
     # declare true costs so compiled.cost_analysis() (bench vs_baseline) and
@@ -222,7 +227,7 @@ def _bwd_impl(qkv, g, heads: int, *, interpret: bool | None = None):
         interpret = jax.default_backend() != "tpu"
     b, n, c3 = qkv.shape
     channels = c3 // 3
-    bb = _pick_bb(b, n, channels, bwd=True)
+    bb = _pick_bb(b, n, channels, heads, bwd=True)
     kernel = functools.partial(_attn_bwd_kernel, heads=heads, channels=channels)
     hd = channels // heads
     cost = pl.CostEstimate(

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from tinyedm_tpu.ops.mp import weight_normalize
+from tinyedm_tpu.ops.mp import pixel_norm, weight_normalize
 
 
 @struct.dataclass
@@ -40,8 +40,16 @@ def force_weight_norm(params: Any) -> Any:
     def fix(path, leaf):
         last = path[-1]
         name = getattr(last, "key", None)
-        if name == "w" and leaf.ndim in (2, 4):
+        if name != "w":
+            return leaf
+        if leaf.ndim in (2, 4):
             return weight_normalize(leaf)
+        # scan-stacked kernels (Denoiser(scan_blocks=True)): leading axis is
+        # the block index, normalization is per (block, output unit)
+        if leaf.ndim == 3:  # (L, out, in)
+            return pixel_norm(leaf, axis=(2,))
+        if leaf.ndim == 5:  # (L, kh, kw, in, out)
+            return pixel_norm(leaf, axis=(1, 2, 3))
         return leaf
 
     return jax.tree_util.tree_map_with_path(fix, params)

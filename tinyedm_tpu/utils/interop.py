@@ -298,3 +298,84 @@ def main(argv=None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# scan_blocks checkpoint migration (Denoiser(scan_blocks=True) stacks runs of
+# identical blocks under {encoder,decoder}_scan_{start} with a leading block
+# axis; these convert existing unrolled checkpoints in either direction).
+# ---------------------------------------------------------------------------
+
+
+def _scan_group_names(scanned_tree: Mapping) -> list[tuple[str, str, int, int]]:
+    """(scan_name, side, start, length) for every scanned group, length read
+    from the leading axis of any leaf."""
+    import jax
+
+    groups = []
+    for name, sub in scanned_tree.items():
+        for side in ("encoder", "decoder"):
+            prefix = f"{side}_scan_"
+            if name.startswith(prefix):
+                start = int(name[len(prefix):])
+                leaf = jax.tree_util.tree_leaves(sub)[0]
+                groups.append((name, side, start, int(leaf.shape[0])))
+    return groups
+
+
+def migrate_params_to_scanned(unrolled: Mapping, scanned_abstract: Mapping) -> dict:
+    """Restack an unrolled denoiser param tree into the scan_blocks layout.
+
+    ``scanned_abstract`` is the target structure (e.g. from jax.eval_shape of
+    the scanned model's init); unrolled per-block subtrees
+    ``{side}_blocks_{start+k}`` are stacked along axis 0 into
+    ``{side}_scan_{start}/block``. Leaves not in any group copy through.
+    Works on the denoiser subtree or any tree that contains it."""
+    import jax.numpy as jnp
+
+    out = {k: v for k, v in unrolled.items()}
+    for name, side, start, length in _scan_group_names(scanned_abstract):
+        members = []
+        for k in range(length):
+            key = f"{side}_blocks_{start + k}"
+            members.append(out.pop(key))
+        import jax
+
+        out[name] = {
+            "block": jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *members)
+        }
+    # recurse into nested containers (e.g. a full params tree with 'denoiser')
+    for k, v in list(out.items()):
+        if isinstance(v, Mapping) and not any(
+            g[0] == k for g in _scan_group_names(scanned_abstract)
+        ):
+            if k in scanned_abstract and isinstance(scanned_abstract[k], Mapping):
+                out[k] = migrate_params_to_scanned(v, scanned_abstract[k])
+    return out
+
+
+def migrate_params_from_scanned(scanned: Mapping) -> dict:
+    """Inverse: unstack every {side}_scan_{start} group back into per-block
+    subtrees {side}_blocks_{start+k}."""
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    for name, sub in scanned.items():
+        matched = False
+        for side in ("encoder", "decoder"):
+            prefix = f"{side}_scan_"
+            if name.startswith(prefix):
+                start = int(name[len(prefix):])
+                block = sub["block"]
+                length = int(jax.tree_util.tree_leaves(block)[0].shape[0])
+                for k in range(length):
+                    out[f"{side}_blocks_{start + k}"] = jax.tree_util.tree_map(
+                        lambda l, kk=k: l[kk], block
+                    )
+                matched = True
+        if not matched:
+            out[name] = (
+                migrate_params_from_scanned(sub) if isinstance(sub, Mapping) else sub
+            )
+    return out
