@@ -59,7 +59,8 @@ def test_backward_exact_fp32(n, dtype):
     qkv = (jax.random.normal(jax.random.PRNGKey(0), (2, n, 3 * c)) * 0.7).astype(dtype)
     g = (jax.random.normal(jax.random.PRNGKey(1), (2, n, c)) * 0.5).astype(dtype)
     dref = jax.vjp(lambda q: xla_attention(q, heads), qkv)[1](g)[0]
-    dout = _bwd_impl(qkv, g, heads, interpret=True)
+    o = _fwd_impl(qkv, heads, interpret=True)
+    dout = _bwd_impl(qkv, g, o, heads, interpret=True)
     np.testing.assert_allclose(np.asarray(dout), np.asarray(dref), atol=2e-6, rtol=2e-5)
 
 
@@ -70,7 +71,8 @@ def test_backward_bf16_close():
     qkv = (jax.random.normal(jax.random.PRNGKey(0), (4, n, 3 * c)) * 0.7).astype(jnp.bfloat16)
     g = (jax.random.normal(jax.random.PRNGKey(1), (4, n, c)) * 0.5).astype(jnp.bfloat16)
     dref = jax.vjp(lambda q: xla_attention(q, heads), qkv)[1](g)[0].astype(jnp.float32)
-    dout = _bwd_impl(qkv, g, heads, interpret=True).astype(jnp.float32)
+    o = _fwd_impl(qkv, heads, interpret=True)
+    dout = _bwd_impl(qkv, g, o, heads, interpret=True).astype(jnp.float32)
     rel = float(jnp.linalg.norm(dout - dref) / (jnp.linalg.norm(dref) + 1e-9))
     assert rel < 2e-2, rel
 
