@@ -47,7 +47,10 @@ def test_forward_matches_xla(n, heads, dtype):
     qkv = (jax.random.normal(jax.random.PRNGKey(0), (4, n, 3 * c)) * 0.7).astype(dtype)
     out = _fwd_impl(qkv, heads, interpret=True).astype(jnp.float32)
     ref = xla_attention(qkv, heads).astype(jnp.float32)
-    tol = 2e-3 if dtype == jnp.bfloat16 else 1e-5
+    # bf16: the kernel defers softmax normalization to the PV output (divide
+    # by the row sums after the matmul), so P is rounded as bf16(E) rather
+    # than bf16(E/s) — within ~1 bf16 ulp of the divide-first XLA form.
+    tol = 8e-3 if dtype == jnp.bfloat16 else 1e-5
     np.testing.assert_allclose(out, ref, atol=tol, rtol=tol)
 
 

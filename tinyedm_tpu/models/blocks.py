@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -26,6 +27,40 @@ from tinyedm_tpu.ops.dropout import mp_dropout
 from tinyedm_tpu.ops.mp import mp_add, mp_silu, pixel_norm
 
 Dtype = Any
+
+
+def _modulated_residual(
+    res: jnp.ndarray,
+    gmod: jnp.ndarray,
+    key,
+    dropout_rate: float,
+    out_dtype,
+    mod_fp32: bool,
+    remat: bool,
+) -> jnp.ndarray:
+    """modulate (fp32 island) -> mp_silu -> dropout -> cast to compute dtype.
+
+    With ``remat`` (default), the segment is wrapped in ``jax.checkpoint`` so
+    the backward pass recomputes it from the (bf16) conv output + the (B, C)
+    modulation vector instead of storing the fp32 modulated tensor, the fp32
+    silu output, and the dropout mask as residuals — pure elementwise
+    recompute (VPU) in exchange for hundreds of MB of fp32 HBM residual
+    traffic per 32x32 block. Numerically identical either way (same values,
+    same dropout bits from the same key).
+    """
+
+    def seg(res_c, gmod):
+        r = res_c.astype(jnp.float32) * gmod[:, None, None, :]
+        if not mod_fp32:
+            r = r.astype(out_dtype)
+        r = mp_silu(r)
+        if key is not None:
+            r = mp_dropout(key, r, dropout_rate)
+        return r.astype(out_dtype)
+
+    if remat:
+        seg = jax.checkpoint(seg)
+    return seg(res, gmod)
 
 
 class EncoderBlock(nn.Module):
@@ -50,6 +85,7 @@ class EncoderBlock(nn.Module):
     # reference's fp16-overflow concern does not apply), only mantissa
     # precision inside the silu differs.
     mod_fp32: bool = True
+    remat_island: bool = True  # recompute the island in bwd (same numerics)
 
     @nn.compact
     def __call__(
@@ -69,12 +105,16 @@ class EncoderBlock(nn.Module):
             embedding.astype(jnp.float32)
         )
         gain = self.param("gain", nn.initializers.ones, ())
-        res = res.astype(jnp.float32) * (g * gain + 1.0)[:, None, None, :]
-        if not self.mod_fp32:
-            res = res.astype(self.dtype)
-        res = mp_silu(res)
-        if train and self.dropout_rate > 0.0:
-            res = mp_dropout(self.make_rng("dropout"), res, self.dropout_rate)
+        key = self.make_rng("dropout") if (train and self.dropout_rate > 0.0) else None
+        res = _modulated_residual(
+            res,
+            (g * gain + 1.0),
+            key,
+            self.dropout_rate,
+            self.dtype,
+            self.mod_fp32,
+            self.remat_island,
+        )
         res = WNConv(self.out_channels, 3, dtype=self.dtype, name="conv_3x3_2")(res)
 
         out = mp_add(x, res, self.add_factor)
@@ -107,6 +147,7 @@ class DecoderBlock(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas_attention: bool = False
     mod_fp32: bool = True  # see EncoderBlock.mod_fp32
+    remat_island: bool = True  # see EncoderBlock.remat_island
 
     @nn.compact
     def __call__(
@@ -134,12 +175,16 @@ class DecoderBlock(nn.Module):
             embedding.astype(jnp.float32)
         )
         gain = self.param("gain", nn.initializers.ones, ())
-        res = res.astype(jnp.float32) * (g * gain + 1.0)[:, None, None, :]
-        if not self.mod_fp32:
-            res = res.astype(self.dtype)
-        res = mp_silu(res)
-        if train and self.dropout_rate > 0.0:
-            res = mp_dropout(self.make_rng("dropout"), res, self.dropout_rate)
+        key = self.make_rng("dropout") if (train and self.dropout_rate > 0.0) else None
+        res = _modulated_residual(
+            res,
+            (g * gain + 1.0),
+            key,
+            self.dropout_rate,
+            self.dtype,
+            self.mod_fp32,
+            self.remat_island,
+        )
         res = WNConv(self.out_channels, 3, dtype=self.dtype, name="conv_3x3_2")(res)
 
         out = mp_add(x, res, self.add_factor)

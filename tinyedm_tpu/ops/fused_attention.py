@@ -94,6 +94,14 @@ def _attn_fwd_kernel(qkv_ref, o_ref, *, heads: int, channels: int, unroll: bool)
     (n, n) tensor. (jax.nn.softmax subtracts the max; the difference is
     sub-ulp for inputs this small — covered by the parity-test tolerances.)
 
+    Deferred softmax normalization: instead of P = (E/s) rounded to the
+    compute dtype (two full VPU passes over the fp32 (n, n) tensor — divide
+    then cast), the kernel rounds E directly and divides the PV matmul
+    OUTPUT by the row sums — an (n, hd) pass. The step time of this kernel
+    is VPU-bound on (n, n) passes (the matmul FLOPs are trivial at these
+    shapes), so saving a pass is ~25% off the critical path; the result
+    differs from the divide-first form only by bf16 rounding placement.
+
     qkv_ref: (bb, n, 3C); o_ref: (bb, n, C)."""
     hd = channels // heads
     scale = 1.0 / math.sqrt(hd)
@@ -107,12 +115,13 @@ def _attn_fwd_kernel(qkv_ref, o_ref, *, heads: int, channels: int, unroll: bool)
         vn, _, _ = _norm_head(v)
         logits = jax.lax.dot_general(
             qn, kn, dimension_numbers=_BMM_TT, preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
-        e = jnp.exp(logits)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qn.dtype)
-        out = jax.lax.dot_general(
-            p, vn, dimension_numbers=_BMM_TN, preferred_element_type=jnp.float32
         )
+        e = jnp.exp(logits * jnp.float32(scale))  # scale fuses into the exp pass
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        eb = e.astype(qn.dtype)
+        out = jax.lax.dot_general(
+            eb, vn, dimension_numbers=_BMM_TN, preferred_element_type=jnp.float32
+        ) / s
         o_ref[:, :, h * hd : (h + 1) * hd] = out.astype(o_ref.dtype)
 
     _for_each_head(heads, head, unroll)
@@ -127,6 +136,16 @@ def _attn_bwd_kernel(qkv_ref, g_ref, o_ref, dqkv_ref, *, heads: int, channels: i
     sum_d g_id o_id (because o = P V̂), an (n, hd) reduction instead of an
     (n, n) one — saving a full pass over the big tensor. o is already in HBM
     (it's the custom_vjp primal output), so this costs one extra C-wide read.
+
+    Deferred-normalization VJP (see fwd kernel): with E = exp(c·Q̂K̂ᵀ),
+    s = rowsum(E), r = 1/s, P = r∘E, the per-row factors r and the logit
+    scale c never touch an (n, n) tensor —
+        dV̂ = Eᵀ (r∘g)                     [fold r into g rows]
+        dS' = E ∘ (dP − δ),  dP = g V̂ᵀ,  δ = rowsum(g∘o)
+        dQ̂ = (dS' K̂) ∘ (r·c rows)        [row scale on the (n, hd) OUTPUT]
+        dK̂ = dS'ᵀ (Q̂ ∘ (r·c rows))      [row scale on the (n, hd) OPERAND]
+    which cuts the fp32 (n, n) VPU passes from ~8 (scale, normalize, cast,
+    sub, two multiplies, cast) to ~5 (exp, cast E, sub, mul, cast dS').
 
     pixel_norm VJP for y = x / bf16(D), D = eps + |x|/sqrt(m):
         dx = g/D - x * sum(g * x) / (D^2 * |x| * sqrt(m))
@@ -152,32 +171,32 @@ def _attn_bwd_kernel(qkv_ref, g_ref, o_ref, dqkv_ref, *, heads: int, channels: i
         vn, sv, dv_ = _norm_head(v)
         logits = jax.lax.dot_general(
             qn, kn, dimension_numbers=_BMM_TT, preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
-        e = jnp.exp(logits)  # bounded logits — no stabilizer (see fwd kernel)
-        p_c = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qn.dtype)
+        )
+        e = jnp.exp(logits * jnp.float32(scale))  # bounded logits, no stabilizer
+        rc = jnp.float32(scale) / jnp.sum(e, axis=-1, keepdims=True)  # r·c (bb,n,1)
+        eb = e.astype(qn.dtype)
 
         # All matmuls take compute-dtype operands with fp32 accumulation —
         # same mixed precision XLA's autodiff gives the einsum path, and 2x
-        # the MXU rate of fp32 operands. The softmax VJP uses the rounded
-        # p (compute dtype) so only ONE fp32 (n, n) tensor (dp) is live at
-        # a time — that bounds VMEM and allows larger batch chunks.
-        dvn = jax.lax.dot_general(  # P^T g
-            p_c, g, dimension_numbers=_BMM_NT, preferred_element_type=jnp.float32
+        # the MXU rate of fp32 operands.
+        g32 = g.astype(jnp.float32)
+        gr = (g32 * (rc * jnp.float32(math.sqrt(hd)))).astype(qn.dtype)  # r∘g, r = rc/c = rc·√hd
+        dvn = jax.lax.dot_general(  # P^T g = E^T (r∘g)
+            eb, gr, dimension_numbers=_BMM_NT, preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(  # g V^T
             g, vn, dimension_numbers=_BMM_TT, preferred_element_type=jnp.float32
         )
         delta = jnp.sum(  # = rowsum(dP ∘ P), via o (see docstring)
-            g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+            g32 * o.astype(jnp.float32), axis=-1, keepdims=True
         )
-        ds = (p_c.astype(jnp.float32) * (dp - delta) * jnp.float32(scale)).astype(
-            qn.dtype
-        )
-        dqn = jax.lax.dot_general(  # dS K
+        ds = (e * (dp - delta)).astype(qn.dtype)  # dS' = E ∘ (dP − δ)
+        qs = (qn.astype(jnp.float32) * rc).astype(qn.dtype)  # Q̂ ∘ (r·c)
+        dqn = jax.lax.dot_general(  # (dS' K̂) ∘ (r·c)
             ds, kn, dimension_numbers=_BMM_TN, preferred_element_type=jnp.float32
-        )
-        dkn = jax.lax.dot_general(  # dS^T Q
-            ds, qn, dimension_numbers=_BMM_NT, preferred_element_type=jnp.float32
+        ) * rc
+        dkn = jax.lax.dot_general(  # dS'ᵀ (Q̂ ∘ (r·c))
+            ds, qs, dimension_numbers=_BMM_NT, preferred_element_type=jnp.float32
         )
 
         dqkv_ref[:, :, h * hd : (h + 1) * hd] = pixel_norm_bwd(
@@ -191,6 +210,200 @@ def _attn_bwd_kernel(qkv_ref, g_ref, o_ref, dqkv_ref, *, heads: int, channels: i
         )
 
     _for_each_head(heads, head, unroll)
+
+
+# ---------------------------------------------------------------------------
+# Pair-block kernels (the default for even head counts).
+#
+# Measured on v5e (experiments/attn_diag.py): per-head (n, hd)@(hd, n) matmuls
+# with hd = 64 run ~5x slower than the same total FLOPs issued as full-width
+# matmuls — K = 64 fills only half the 128-wide MXU and every (256, 64)
+# instance pays its own stream/drain, so the kernel is matmul-GRANULARITY
+# bound, not FLOP or VPU bound. The fix: process heads in PAIRS with
+# block-diagonal operands,
+#
+#     [Q0 | Q1] (n, 2hd)  @  [[K0, 0], [0, K1]] (2n, 2hd)^T  =  [L0 | L1]
+#
+# K doubles to 2hd = 128 (full array; the zero-block FLOPs execute in the
+# half that K = 64 would leave IDLE, so they are free), instance count
+# halves, and every lane slice is 128-aligned. The block-diagonal operands
+# live in VMEM scratch: zeroed once on the first grid step, only the two
+# diagonal blocks rewritten per step (both writes are lane-aligned copies —
+# head h's channels land at the same lane offset they came from).
+# ---------------------------------------------------------------------------
+
+
+def _norm_half(x, lo: int, hd: int):
+    """pixel_norm of the 64-lane half [lo, lo+hd) of a (bb, n, 2hd) slice.
+    Returns (normalized (bb, n, hd), fp32 norm s, fp32 denom d)."""
+    return _norm_head(x[:, :, lo : lo + hd])
+
+
+def _attn_fwd_kernel_pair(qkv_ref, o_ref, kbd_ref, vbd_ref, *, heads: int, channels: int):
+    """Pair-block forward. qkv_ref (bb, n, 3C); o_ref (bb, n, C);
+    kbd_ref/vbd_ref (bb, 2n, 2hd) VMEM scratch, persistent across grid steps."""
+    hd = channels // heads
+    w = 2 * hd
+    scale = 1.0 / math.sqrt(hd)
+    bb, n, _ = qkv_ref.shape
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        kbd_ref[...] = jnp.zeros_like(kbd_ref)
+        vbd_ref[...] = jnp.zeros_like(vbd_ref)
+
+    for p in range(heads // 2):
+        q2 = qkv_ref[:, :, p * w : (p + 1) * w]  # (bb, n, 2hd)
+        k2 = qkv_ref[:, :, channels + p * w : channels + (p + 1) * w]
+        v2 = qkv_ref[:, :, 2 * channels + p * w : 2 * channels + (p + 1) * w]
+        qn0, _, _ = _norm_half(q2, 0, hd)
+        qn1, _, _ = _norm_half(q2, hd, hd)
+        kn0, _, _ = _norm_half(k2, 0, hd)
+        kn1, _, _ = _norm_half(k2, hd, hd)
+        vn0, _, _ = _norm_half(v2, 0, hd)
+        vn1, _, _ = _norm_half(v2, hd, hd)
+        qn = jnp.concatenate([qn0, qn1], axis=-1)  # (bb, n, 2hd)
+        # diagonal blocks only; off-diagonal zeros persist from step 0
+        kbd_ref[:, 0:n, 0:hd] = kn0
+        kbd_ref[:, n : 2 * n, hd:w] = kn1
+        vbd_ref[:, 0:n, 0:hd] = vn0
+        vbd_ref[:, n : 2 * n, hd:w] = vn1
+
+        logits = jax.lax.dot_general(  # (bb, n, 2n) = [L0 | L1]
+            qn, kbd_ref[...], dimension_numbers=_BMM_TT,
+            preferred_element_type=jnp.float32,
+        )
+        e = jnp.exp(logits * jnp.float32(scale))
+        s0 = jnp.sum(e[:, :, 0:n], axis=-1, keepdims=True)
+        s1 = jnp.sum(e[:, :, n : 2 * n], axis=-1, keepdims=True)
+        eb = e.astype(qn.dtype)
+        y = jax.lax.dot_general(  # (bb, n, 2hd) = [P0 V0 | P1 V1] (unnormalized)
+            eb, vbd_ref[...], dimension_numbers=_BMM_TN,
+            preferred_element_type=jnp.float32,
+        )
+        r = jnp.concatenate(
+            [
+                jnp.broadcast_to(1.0 / s0, (bb, n, hd)),
+                jnp.broadcast_to(1.0 / s1, (bb, n, hd)),
+            ],
+            axis=-1,
+        )
+        o_ref[:, :, p * w : (p + 1) * w] = (y * r).astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_pair(
+    qkv_ref, g_ref, o_ref, dqkv_ref, kbd_ref, vbd_ref, *, heads: int, channels: int
+):
+    """Pair-block backward: recompute the softmax, then the deferred-
+    normalization VJP (see _attn_bwd_kernel docstring for the math) with all
+    five dots issued at pair width."""
+    hd = channels // heads
+    w = 2 * hd
+    scale = 1.0 / math.sqrt(hd)
+    rsqrt_m = 1.0 / math.sqrt(hd)
+    bb, n, _ = qkv_ref.shape
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        kbd_ref[...] = jnp.zeros_like(kbd_ref)
+        vbd_ref[...] = jnp.zeros_like(vbd_ref)
+
+    def pixel_norm_bwd(x_c, s, d, gy):
+        x = x_c.astype(jnp.float32)
+        d32 = d.astype(jnp.float32)
+        inner = jnp.sum(gy * x, axis=-1, keepdims=True)
+        return gy / d32 - x * (inner / (d32 * d32 * jnp.maximum(s, 1e-30) / rsqrt_m))
+
+    for p in range(heads // 2):
+        q2 = qkv_ref[:, :, p * w : (p + 1) * w]
+        k2 = qkv_ref[:, :, channels + p * w : channels + (p + 1) * w]
+        v2 = qkv_ref[:, :, 2 * channels + p * w : 2 * channels + (p + 1) * w]
+        g2 = g_ref[:, :, p * w : (p + 1) * w]
+        o2 = o_ref[:, :, p * w : (p + 1) * w]
+        qn0, sq0, dq0 = _norm_half(q2, 0, hd)
+        qn1, sq1, dq1 = _norm_half(q2, hd, hd)
+        kn0, sk0, dk0 = _norm_half(k2, 0, hd)
+        kn1, sk1, dk1 = _norm_half(k2, hd, hd)
+        vn0, sv0, dv0 = _norm_half(v2, 0, hd)
+        vn1, sv1, dv1 = _norm_half(v2, hd, hd)
+        qn = jnp.concatenate([qn0, qn1], axis=-1)
+        kbd_ref[:, 0:n, 0:hd] = kn0
+        kbd_ref[:, n : 2 * n, hd:w] = kn1
+        vbd_ref[:, 0:n, 0:hd] = vn0
+        vbd_ref[:, n : 2 * n, hd:w] = vn1
+
+        logits = jax.lax.dot_general(
+            qn, kbd_ref[...], dimension_numbers=_BMM_TT,
+            preferred_element_type=jnp.float32,
+        )
+        e = jnp.exp(logits * jnp.float32(scale))
+        s0 = jnp.sum(e[:, :, 0:n], axis=-1, keepdims=True)
+        s1 = jnp.sum(e[:, :, n : 2 * n], axis=-1, keepdims=True)
+        rc0 = jnp.float32(scale) / s0  # r·c per head half
+        rc1 = jnp.float32(scale) / s1
+        rcfull = jnp.concatenate(
+            [
+                jnp.broadcast_to(rc0, (bb, n, hd)),
+                jnp.broadcast_to(rc1, (bb, n, hd)),
+            ],
+            axis=-1,
+        )  # (bb, n, 2hd) fp32
+        eb = e.astype(qn.dtype)
+
+        g32 = g2.astype(jnp.float32)
+        gr = (g32 * (rcfull * jnp.float32(math.sqrt(hd)))).astype(qn.dtype)  # r∘g
+        dvbd = jax.lax.dot_general(  # (bb, 2n, 2hd): diag blocks = dV̂
+            eb, gr, dimension_numbers=_BMM_NT, preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(  # (bb, n, 2n) = [dP0 | dP1]
+            g2, vbd_ref[...], dimension_numbers=_BMM_TT,
+            preferred_element_type=jnp.float32,
+        )
+        go = g32 * o2.astype(jnp.float32)
+        d0 = jnp.sum(go[:, :, 0:hd], axis=-1, keepdims=True)  # δ per head
+        d1 = jnp.sum(go[:, :, hd:w], axis=-1, keepdims=True)
+        dd = jnp.concatenate(
+            [jnp.broadcast_to(d0, (bb, n, n)), jnp.broadcast_to(d1, (bb, n, n))],
+            axis=-1,
+        )
+        ds = (e * (dp - dd)).astype(qn.dtype)  # dS' = E ∘ (dP − δ)
+        dqn = jax.lax.dot_general(  # (bb, n, 2hd) = [dS0' K̂0 | dS1' K̂1]
+            ds, kbd_ref[...], dimension_numbers=_BMM_TN,
+            preferred_element_type=jnp.float32,
+        ) * rcfull
+        qs = (qn.astype(jnp.float32) * rcfull).astype(qn.dtype)
+        dkbd = jax.lax.dot_general(  # (bb, 2n, 2hd): diag blocks = dK̂
+            ds, qs, dimension_numbers=_BMM_NT, preferred_element_type=jnp.float32
+        )
+
+        dq = jnp.concatenate(
+            [
+                pixel_norm_bwd(q2[:, :, 0:hd], sq0, dq0, dqn[:, :, 0:hd]),
+                pixel_norm_bwd(q2[:, :, hd:w], sq1, dq1, dqn[:, :, hd:w]),
+            ],
+            axis=-1,
+        )
+        dk = jnp.concatenate(
+            [
+                pixel_norm_bwd(k2[:, :, 0:hd], sk0, dk0, dkbd[:, 0:n, 0:hd]),
+                pixel_norm_bwd(k2[:, :, hd:w], sk1, dk1, dkbd[:, n : 2 * n, hd:w]),
+            ],
+            axis=-1,
+        )
+        dv = jnp.concatenate(
+            [
+                pixel_norm_bwd(v2[:, :, 0:hd], sv0, dv0, dvbd[:, 0:n, 0:hd]),
+                pixel_norm_bwd(v2[:, :, hd:w], sv1, dv1, dvbd[:, n : 2 * n, hd:w]),
+            ],
+            axis=-1,
+        )
+        dqkv_ref[:, :, p * w : (p + 1) * w] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, channels + p * w : channels + (p + 1) * w] = dk.astype(
+            dqkv_ref.dtype
+        )
+        dqkv_ref[:, :, 2 * channels + p * w : 2 * channels + (p + 1) * w] = dv.astype(
+            dqkv_ref.dtype
+        )
 
 
 def _per_sample_bytes(n: int, channels: int, heads: int, bwd: bool, unroll: bool) -> int:
@@ -231,6 +444,34 @@ def _pick_bb(b: int, n: int, channels: int, heads: int, bwd: bool) -> int:
     return _pick_bb_unroll(b, n, channels, heads, bwd)[0]
 
 
+def _pair_sample_bytes(n: int, channels: int, heads: int, bwd: bool) -> int:
+    """Per-sample VMEM for the pair-block kernels (one pair live at a time):
+    IO double buffers + the fp32 (n, 2n) softmax tensors (~2 fwd / ~4 bwd)
+    + compute-dtype casts."""
+    io_ch = 8 * channels if bwd else 4 * channels
+    n2_terms = 4 if bwd else 2
+    return 2 * n * io_ch * 2 + n2_terms * n * 2 * n * 4 + 2 * n * 2 * n * 2
+
+
+def _pick_bb_pair(b: int, n: int, channels: int, heads: int, bwd: bool) -> int:
+    # bb capped at 8: larger chunks measured slower (VMEM pressure squeezes
+    # the double buffers) — v5e, n=64: bb=8 0.73 ms vs bb=16 0.80 ms bwd-chain
+    cap = min(8, _BUDGET // max(_pair_sample_bytes(n, channels, heads, bwd), 1))
+    for bb in (8, 4, 2, 1):
+        if b % bb == 0 and bb <= cap:
+            return bb
+    return 1
+
+
+def _use_pair(heads: int, n: int) -> bool:
+    """Pair-block kernels win only at SMALL n: they halve matmul-instance
+    count at full-array K = 2hd, worth ~20% bwd at n = 64; at n = 256 the
+    kernels are output-stream bound (time ~ heads·n² rows through the MXU)
+    and the pair form's bigger fp32 (n, 2n) tensors overflow VMEM for
+    nothing (measured equal fwd, compile failure bwd). See BENCH.md round 2."""
+    return heads % 2 == 0 and n <= 128
+
+
 def _fwd_impl(
     qkv: jnp.ndarray,
     heads: int,
@@ -238,18 +479,15 @@ def _fwd_impl(
     interpret: bool | None = None,
     bb: int | None = None,
     unroll: bool | None = None,
+    pair: bool | None = None,
 ):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n, c3 = qkv.shape
     channels = c3 // 3
-    auto_bb, auto_unroll = _pick_bb_unroll(b, n, channels, heads, bwd=False)
-    bb = bb or auto_bb
-    unroll = auto_unroll if unroll is None else unroll
-    kernel = functools.partial(
-        _attn_fwd_kernel, heads=heads, channels=channels, unroll=unroll
-    )
     hd = channels // heads
+    if pair is None:
+        pair = _use_pair(heads, n)
     # declare true costs so compiled.cost_analysis() (bench vs_baseline) and
     # the scheduler see through the custom call: QK^T + PV = 4*n^2*hd MACs
     cost = pl.CostEstimate(
@@ -257,6 +495,23 @@ def _fwd_impl(
         bytes_accessed=b * n * 4 * channels * qkv.dtype.itemsize,
         transcendentals=b * heads * n * n,
     )
+    if pair:
+        bb = bb or _pick_bb_pair(b, n, channels, heads, bwd=False)
+        kernel = functools.partial(
+            _attn_fwd_kernel_pair, heads=heads, channels=channels
+        )
+        scratch = [
+            pltpu.VMEM((bb, 2 * n, 2 * hd), qkv.dtype),
+            pltpu.VMEM((bb, 2 * n, 2 * hd), qkv.dtype),
+        ]
+    else:
+        auto_bb, auto_unroll = _pick_bb_unroll(b, n, channels, heads, bwd=False)
+        bb = bb or auto_bb
+        unroll = auto_unroll if unroll is None else unroll
+        kernel = functools.partial(
+            _attn_fwd_kernel, heads=heads, channels=channels, unroll=unroll
+        )
+        scratch = []
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, channels), qkv.dtype),
@@ -268,6 +523,7 @@ def _fwd_impl(
         out_specs=pl.BlockSpec(
             (bb, n, channels), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qkv)
 
@@ -281,23 +537,37 @@ def _bwd_impl(
     interpret: bool | None = None,
     bb: int | None = None,
     unroll: bool | None = None,
+    pair: bool | None = None,
 ):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n, c3 = qkv.shape
     channels = c3 // 3
-    auto_bb, auto_unroll = _pick_bb_unroll(b, n, channels, heads, bwd=True)
-    bb = bb or auto_bb
-    unroll = auto_unroll if unroll is None else unroll
-    kernel = functools.partial(
-        _attn_bwd_kernel, heads=heads, channels=channels, unroll=unroll
-    )
     hd = channels // heads
+    if pair is None:
+        pair = _use_pair(heads, n)
     cost = pl.CostEstimate(
         flops=b * heads * 12 * n * n * hd,  # softmax recompute + 5 VJP dots
         bytes_accessed=b * n * 8 * channels * qkv.dtype.itemsize,
         transcendentals=b * heads * n * n,
     )
+    if pair:
+        bb = bb or _pick_bb_pair(b, n, channels, heads, bwd=True)
+        kernel = functools.partial(
+            _attn_bwd_kernel_pair, heads=heads, channels=channels
+        )
+        scratch = [
+            pltpu.VMEM((bb, 2 * n, 2 * hd), qkv.dtype),
+            pltpu.VMEM((bb, 2 * n, 2 * hd), qkv.dtype),
+        ]
+    else:
+        auto_bb, auto_unroll = _pick_bb_unroll(b, n, channels, heads, bwd=True)
+        bb = bb or auto_bb
+        unroll = auto_unroll if unroll is None else unroll
+        kernel = functools.partial(
+            _attn_bwd_kernel, heads=heads, channels=channels, unroll=unroll
+        )
+        scratch = []
     ch_spec = pl.BlockSpec(
         (bb, n, channels), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -314,6 +584,7 @@ def _bwd_impl(
         out_specs=pl.BlockSpec(
             (bb, n, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qkv, g, o)
 
