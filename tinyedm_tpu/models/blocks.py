@@ -23,7 +23,7 @@ from tinyedm_tpu.models.layers import (
     downsample_2x,
     upsample_2x,
 )
-from tinyedm_tpu.ops.dropout import mp_dropout
+from tinyedm_tpu.ops.dropout import dropout_threshold
 from tinyedm_tpu.ops.mp import mp_add, mp_silu, pixel_norm
 
 Dtype = Any
@@ -45,22 +45,32 @@ def _modulated_residual(
     modulation vector instead of storing the fp32 modulated tensor, the fp32
     silu output, and the dropout mask as residuals — pure elementwise
     recompute (VPU) in exchange for hundreds of MB of fp32 HBM residual
-    traffic per 32x32 block. Numerically identical either way (same values,
-    same dropout bits from the same key).
+    traffic per 32x32 block. The dropout BITS are drawn outside the
+    checkpoint and passed as an argument (= saved residual): re-running the
+    RNG in the backward measured +1.9 ms/step, more than the uint16 bits'
+    save/reload traffic. Numerically identical either way (same values,
+    same bits).
     """
+    from tinyedm_tpu.ops.dropout import apply_dropout_bits, dropout_bits
 
-    def seg(res_c, gmod):
+    use_dropout = key is not None and dropout_threshold(dropout_rate) < 65536
+
+    def seg(res_c, gmod, bits):
         r = res_c.astype(jnp.float32) * gmod[:, None, None, :]
         if not mod_fp32:
             r = r.astype(out_dtype)
         r = mp_silu(r)
-        if key is not None:
-            r = mp_dropout(key, r, dropout_rate)
+        if bits is not None:
+            r = apply_dropout_bits(bits, r, dropout_rate)
         return r.astype(out_dtype)
 
+    bits = dropout_bits(key, res.shape) if use_dropout else None
     if remat:
-        seg = jax.checkpoint(seg)
-    return seg(res, gmod)
+        if bits is None:
+            seg_nb = jax.checkpoint(lambda r, g: seg(r, g, None))
+            return seg_nb(res, gmod)
+        return jax.checkpoint(seg)(res, gmod, bits)
+    return seg(res, gmod, bits)
 
 
 class EncoderBlock(nn.Module):

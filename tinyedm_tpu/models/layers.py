@@ -230,6 +230,22 @@ class Embedding(nn.Module):
         return fourier, mp_silu(emb)
 
 
+class _ConvWeight(nn.Module):
+    """Bare stored-weight holder with WNConv's exact param name/shape/init.
+
+    Used by fused whole-block kernels that consume the EFFECTIVE weight
+    directly: the param tree stays byte-identical to the WNConv submodule it
+    replaces ('<name>/w', HWIO, N(0,1) init), so checkpoints are
+    interchangeable between the fused and unfused paths.
+    """
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("w", _normal_init, self.shape)
+
+
 class CosineAttention(nn.Module):
     """Cosine self-attention over spatial tokens (reference: networks.py:181-207).
 
@@ -245,10 +261,12 @@ class CosineAttention(nn.Module):
     num_heads: int = 4
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
-    # fused-kernel dispatch: "auto" uses the fused pixel_norm+attention
-    # Pallas kernel (ops/fused_attention.py) on TPU for token counts within
-    # its VMEM-resident range, the XLA path elsewhere (CPU tests keep XLA
-    # numerics). "on"/"off" force it (tests/benchmarks).
+    # fused-kernel dispatch: "auto" fuses the WHOLE block (qkv conv +
+    # pixel_norm + attention + out conv + residual, ops/fused_attention.py
+    # attention_block) into one Pallas kernel per direction on TPU for token
+    # counts within its VMEM-resident range; the XLA path elsewhere (CPU
+    # tests keep XLA numerics). "block" forces the block kernel, "on" forces
+    # the legacy qkv-only kernel, "off" forces the XLA path.
     fused: str = "auto"
 
     @nn.compact
@@ -258,9 +276,30 @@ class CosineAttention(nn.Module):
         hd = c // self.num_heads
         n = h * w
 
-        qkv = WNConv(3 * c, 1, dtype=self.dtype, name="qkv_conv")(x)
+        from tinyedm_tpu.ops.fused_attention import (
+            MAX_FUSED_TOKENS,
+            attention_block,
+            cosine_attention_qkv,
+        )
 
-        from tinyedm_tpu.ops.fused_attention import MAX_FUSED_TOKENS, cosine_attention_qkv
+        # "block" is opt-in only: measured 176.0 vs 170.5 ms/step on the
+        # CIFAR recipe (BENCH.md round 2) — the in-kernel (bb*n, C) GEMMs
+        # stream too few rows per instance to match XLA's monolithic
+        # (B*n, C) GEMMs, which outweighs the saved qkv/attn-out HBM round
+        # trips. Kept for topologies where HBM, not MXU, is the bound.
+        use_block = self.fused == "block"
+        if use_block:
+            wq4 = _ConvWeight((1, 1, c, 3 * c), name="qkv_conv")()
+            wo4 = _ConvWeight((1, 1, c, c), name="out_conv")()
+            inv = 1.0 / math.sqrt(c)
+            wq = (weight_normalize(wq4) * inv)[0, 0].astype(self.dtype)
+            wo = (weight_normalize(wo4) * inv)[0, 0].astype(self.dtype)
+            y = attention_block(
+                x.reshape(b, n, c).astype(self.dtype), wq, wo, self.num_heads
+            )
+            return y.reshape(b, h, w, c)
+
+        qkv = WNConv(3 * c, 1, dtype=self.dtype, name="qkv_conv")(x)
 
         use_fused = self.fused == "on" or (
             self.fused == "auto"

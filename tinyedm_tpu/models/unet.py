@@ -29,6 +29,28 @@ from tinyedm_tpu.ops.precond import edm_precond
 Dtype = Any
 
 
+def _convs_saveable_policy(prim, *_, **__):
+    """jax.checkpoint policy: save conv/matmul/custom-kernel OUTPUTS,
+    rematerialize everything elementwise between them in the backward pass.
+    Keeps the FLOP-heavy ops single-execution while the fp32-island /
+    pixel-norm / mp_add chains stop costing HBM residual traffic (recompute
+    is VPU-only)."""
+    return getattr(prim, "name", "") in (
+        "conv_general_dilated",
+        "dot_general",
+        "custom_vjp_call",
+        "custom_vjp_call_jaxpr",
+    )
+
+
+def _remat_wrap(cls, static_argnums, remat, policy):
+    if not remat:
+        return cls
+    if policy == "convs":
+        return nn.remat(cls, static_argnums=static_argnums, policy=_convs_saveable_policy)
+    return nn.remat(cls, static_argnums=static_argnums)
+
+
 class _EncoderScanCell(nn.Module):
     """lax.scan cell wrapping one EncoderBlock: carry = (x, embedding),
     per-iteration output = the block output (pushed as a skip)."""
@@ -42,14 +64,13 @@ class _EncoderScanCell(nn.Module):
     use_pallas_attention: bool
     mod_fp32: bool
     remat: bool
+    remat_policy: str
     train: bool
 
     @nn.compact
     def __call__(self, carry, _):
         x, emb = carry
-        cls = (
-            nn.remat(EncoderBlock, static_argnums=(3,)) if self.remat else EncoderBlock
-        )
+        cls = _remat_wrap(EncoderBlock, (3,), self.remat, self.remat_policy)
         y = cls(
             out_channels=self.out_channels,
             down=False,
@@ -78,14 +99,13 @@ class _DecoderScanCell(nn.Module):
     use_pallas_attention: bool
     mod_fp32: bool
     remat: bool
+    remat_policy: str
     train: bool
 
     @nn.compact
     def __call__(self, carry, skip):
         x, emb = carry
-        cls = (
-            nn.remat(DecoderBlock, static_argnums=(4,)) if self.remat else DecoderBlock
-        )
+        cls = _remat_wrap(DecoderBlock, (4,), self.remat, self.remat_policy)
         y = cls(
             out_channels=self.out_channels,
             up=False,
@@ -143,6 +163,11 @@ class Denoiser(nn.Module):
     # ~33% extra forward FLOPs for O(depth) less activation memory — for
     # batch/resolution scales where activations would not fit HBM
     remat: bool = False
+    # remat flavor: "full" recomputes whole blocks (min memory, ~21% slower);
+    # "convs" saves conv/matmul outputs and recomputes only the elementwise
+    # chains between them - same numerics, trades VPU recompute for HBM
+    # residual traffic
+    remat_policy: str = "full"
     # Compile-time lever (ROADMAP 3): fold runs of identical consecutive
     # blocks (same type/channels, no resampling, uniform skip usage) into
     # one nn.scan with axis-0-stacked parameters — the XLA graph then
@@ -205,16 +230,13 @@ class Denoiser(nn.Module):
                     use_pallas_attention=self.use_pallas_attention,
                     mod_fp32=self.mod_fp32,
                     remat=self.remat,
+                    remat_policy=self.remat_policy,
                     train=train,
                     name=f"encoder_scan_{i}",
                 )((x, embedding), None)
                 skips.extend(ys[k] for k in range(length))
             else:
-                enc_cls = (
-                    nn.remat(EncoderBlock, static_argnums=(3,))
-                    if self.remat
-                    else EncoderBlock
-                )
+                enc_cls = _remat_wrap(EncoderBlock, (3,), self.remat, self.remat_policy)
                 x = enc_cls(
                     out_channels=ch,
                     down=down,
@@ -267,16 +289,13 @@ class Denoiser(nn.Module):
                     use_pallas_attention=self.use_pallas_attention,
                     mod_fp32=self.mod_fp32,
                     remat=self.remat,
+                    remat_policy=self.remat_policy,
                     train=train,
                     name=f"decoder_scan_{i}",
                 )((x, embedding), skip_stack)
             else:
                 skip = skips.pop() if has_skip else None
-                dec_cls = (
-                    nn.remat(DecoderBlock, static_argnums=(4,))
-                    if self.remat
-                    else DecoderBlock
-                )
+                dec_cls = _remat_wrap(DecoderBlock, (4,), self.remat, self.remat_policy)
                 x = dec_cls(
                     out_channels=ch,
                     up=up,

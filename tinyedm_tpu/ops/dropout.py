@@ -21,15 +21,34 @@ import jax
 import jax.numpy as jnp
 
 
+def dropout_threshold(rate: float) -> int:
+    """uint16 keep threshold for ``rate``; 65536 means 'keep everything'."""
+    return int(round((1.0 - rate) * 65536.0))
+
+
+def dropout_bits(rng: jax.Array, shape) -> jnp.ndarray:
+    """The uint16 random bits backing a dropout mask. Drawn separately so
+    callers can draw them OUTSIDE a jax.checkpoint region: as an argument
+    they become a saved residual, and the backward pass re-applies the mask
+    instead of re-running the RNG (bits are half the bytes of the fp32
+    tensor they mask; regenerating them doubled rng-bit-generator time to
+    3.2 ms/step — BENCH.md round 2)."""
+    return jax.random.bits(rng, shape, dtype=jnp.uint16)
+
+
+def apply_dropout_bits(bits: jnp.ndarray, x: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Apply a uint16-threshold dropout mask; semantics of nn.Dropout(rate)."""
+    keep_prob = 1.0 - rate
+    threshold = dropout_threshold(rate)
+    if threshold >= 65536:  # rate too small to represent: keep everything
+        return x
+    keep = bits < jnp.uint16(threshold)
+    scale = jnp.asarray(1.0 / keep_prob, x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+
+
 def mp_dropout(rng: jax.Array, x: jnp.ndarray, rate: float) -> jnp.ndarray:
     """Dropout with uint16-threshold masks; semantics of nn.Dropout(rate)."""
     if rate <= 0.0:
         return x
-    keep_prob = 1.0 - rate
-    threshold = int(round(keep_prob * 65536.0))
-    if threshold >= 65536:  # rate too small to represent: keep everything
-        return x
-    bits = jax.random.bits(rng, x.shape, dtype=jnp.uint16)
-    keep = bits < jnp.uint16(threshold)
-    scale = jnp.asarray(1.0 / keep_prob, x.dtype)
-    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+    return apply_dropout_bits(dropout_bits(rng, x.shape), x, rate)

@@ -406,6 +406,225 @@ def _attn_bwd_kernel_pair(
         )
 
 
+# ---------------------------------------------------------------------------
+# Whole-block fusion: qkv GEMM -> cosine attention -> out GEMM -> mp_add
+# residual, one kernel each way. Removes the HBM round trips of the qkv
+# tensor (b, n, 3C), the attention output, and their cotangents (~0.5 GB/step
+# at CIFAR shapes) and keeps the two 1x1-conv GEMMs on data already resident
+# in VMEM. Weight gradients accumulate in fp32 VMEM across grid steps
+# (constant-index output blocks revisited every step).
+# ---------------------------------------------------------------------------
+
+_RES_T = 0.5  # CosineAttention residual factor (reference networks.py:206)
+
+
+def _attn_block_fwd_kernel(
+    x_ref, wq_ref, wo_ref, o_ref, *scratch, heads: int, channels: int,
+    pair: bool, unroll: bool
+):
+    bb, n, c = x_ref.shape
+    cd = x_ref.dtype
+    x = x_ref[...]
+    xf = x.reshape(bb * n, c)
+    qkv = jax.lax.dot_general(
+        xf, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if pair:
+        qkv_scr, y_scr, kbd, vbd = scratch
+    else:
+        qkv_scr, y_scr = scratch
+    qkv_scr[...] = qkv.astype(cd).reshape(bb, n, 3 * c)
+    if pair:
+        _attn_fwd_kernel_pair(qkv_scr, y_scr, kbd, vbd, heads=heads, channels=channels)
+    else:
+        _attn_fwd_kernel(qkv_scr, y_scr, heads=heads, channels=channels, unroll=unroll)
+    y = y_scr[...].reshape(bb * n, c)
+    out = jax.lax.dot_general(
+        y, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd).reshape(bb, n, c)
+    # mp_add(x, out, t) exactly as ops.mp.mp_add (compute dtype arithmetic)
+    t = jnp.asarray(_RES_T, cd)
+    s = jnp.asarray(1.0 / math.sqrt((1.0 - _RES_T) ** 2 + _RES_T**2), cd)
+    o_ref[...] = ((x + (out - x) * t) * s).astype(o_ref.dtype)
+
+
+def _attn_block_bwd_kernel(
+    x_ref, wq_ref, wo_ref, g_ref, dx_ref, dwq_ref, dwo_ref, *scratch,
+    heads: int, channels: int, pair: bool, unroll: bool
+):
+    bb, n, c = x_ref.shape
+    cd = x_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_dw():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+
+    if pair:
+        qkv_scr, y_scr, gat_scr, dqkv_scr, kbd, vbd = scratch
+    else:
+        qkv_scr, y_scr, gat_scr, dqkv_scr = scratch
+
+    x = x_ref[...]
+    xf = x.reshape(bb * n, c)
+    qkv = jax.lax.dot_general(
+        xf, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv_scr[...] = qkv.astype(cd).reshape(bb, n, 3 * c)
+    if pair:
+        _attn_fwd_kernel_pair(qkv_scr, y_scr, kbd, vbd, heads=heads, channels=channels)
+    else:
+        _attn_fwd_kernel(qkv_scr, y_scr, heads=heads, channels=channels, unroll=unroll)
+
+    g = g_ref[...]
+    # d(mp_add)/d(out) = d(mp_add)/dx_direct = t*s = (1-t)*s for t = 0.5
+    ts = jnp.asarray(_RES_T / math.sqrt((1.0 - _RES_T) ** 2 + _RES_T**2), cd)
+    gout = g * ts  # (bb, n, c)
+    goutf = gout.reshape(bb * n, c)
+    yf = y_scr[...].reshape(bb * n, c)
+    dwo_ref[...] += jax.lax.dot_general(  # y^T g_out
+        yf, goutf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dy = jax.lax.dot_general(  # g_out @ W_out^T
+        goutf, wo_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gat_scr[...] = dy.astype(cd).reshape(bb, n, c)
+    if pair:
+        _attn_bwd_kernel_pair(
+            qkv_scr, gat_scr, y_scr, dqkv_scr, kbd, vbd,
+            heads=heads, channels=channels,
+        )
+    else:
+        _attn_bwd_kernel(
+            qkv_scr, gat_scr, y_scr, dqkv_scr,
+            heads=heads, channels=channels, unroll=unroll,
+        )
+    dqkvf = dqkv_scr[...].reshape(bb * n, 3 * c)
+    dwq_ref[...] += jax.lax.dot_general(  # x^T dqkv
+        xf, dqkvf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dxq = jax.lax.dot_general(  # dqkv @ W_qkv^T
+        dqkvf, wq_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[...] = (dxq.astype(cd).reshape(bb, n, c) + gout).astype(dx_ref.dtype)
+
+
+def _block_sample_bytes(n: int, channels: int, heads: int, bwd: bool, pair: bool) -> int:
+    """Per-sample VMEM for the whole-block kernels: IO + qkv/y/(gat/dqkv)
+    scratches + the attention core's live intermediates."""
+    c = channels
+    io = (4 if bwd else 2) * n * c * 2 * 2  # x, o (+ g, dx), double buffered
+    scr = (2 * n * 4 * c + (2 * n * 4 * c if bwd else 0)) * 2  # qkv+y (+gat+dqkv)
+    if pair:
+        core = (4 if bwd else 2) * n * 2 * n * 4 + 2 * n * 2 * n * 2
+    else:
+        core = (3 if bwd else 2) * n * n * 4 + (12 if bwd else 6) * n * (c // heads) * 4
+    return io + scr + core
+
+
+def _pick_bb_block(b: int, n: int, channels: int, heads: int, bwd: bool, pair: bool) -> int:
+    fixed = 2 * channels * 4 * channels  # weights + fp32 dW accumulators
+    cap = min(8, (_BUDGET - fixed) // max(_block_sample_bytes(n, channels, heads, bwd, pair), 1))
+    for bb in (8, 4, 2, 1):
+        if b % bb == 0 and bb <= cap:
+            return bb
+    return 1
+
+
+def _block_scratch(bb: int, n: int, c: int, hd: int, dtype, bwd: bool, pair: bool):
+    scr = [pltpu.VMEM((bb, n, 3 * c), dtype), pltpu.VMEM((bb, n, c), dtype)]
+    if bwd:
+        scr += [pltpu.VMEM((bb, n, c), dtype), pltpu.VMEM((bb, n, 3 * c), dtype)]
+    if pair:
+        scr += [
+            pltpu.VMEM((bb, 2 * n, 2 * hd), dtype),
+            pltpu.VMEM((bb, 2 * n, 2 * hd), dtype),
+        ]
+    return scr
+
+
+def _block_fwd_impl(x, wq, wo, heads: int, *, interpret: bool | None = None, bb: int | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, c = x.shape
+    hd = c // heads
+    pair = _use_pair(heads, n)
+    unroll = True
+    bb = bb or _pick_bb_block(b, n, c, heads, bwd=False, pair=pair)
+    kernel = functools.partial(
+        _attn_block_fwd_kernel, heads=heads, channels=c, pair=pair, unroll=unroll
+    )
+    cost = pl.CostEstimate(
+        flops=b * n * c * (3 * c + c) * 2 + b * heads * 4 * n * n * hd + 4 * b * n * c,
+        bytes_accessed=b * n * 2 * c * x.dtype.itemsize + 4 * c * c * x.dtype.itemsize,
+        transcendentals=b * heads * n * n,
+    )
+    const = lambda i: (0, 0)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        cost_estimate=cost,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=_block_scratch(bb, n, c, hd, x.dtype, bwd=False, pair=pair),
+        interpret=interpret,
+    )(x, wq, wo)
+
+
+def _block_bwd_impl(x, wq, wo, g, heads: int, *, interpret: bool | None = None, bb: int | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, c = x.shape
+    hd = c // heads
+    pair = _use_pair(heads, n)
+    unroll = True
+    bb = bb or _pick_bb_block(b, n, c, heads, bwd=True, pair=pair)
+    kernel = functools.partial(
+        _attn_block_bwd_kernel, heads=heads, channels=c, pair=pair, unroll=unroll
+    )
+    cost = pl.CostEstimate(
+        flops=3 * b * n * c * (3 * c + c) * 2 + b * heads * 10 * n * n * hd,
+        bytes_accessed=b * n * 3 * c * x.dtype.itemsize + 12 * c * c * 4,
+        transcendentals=b * heads * n * n,
+    )
+    const = lambda i: (0, 0)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+        ),
+        cost_estimate=cost,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), const, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=_block_scratch(bb, n, c, hd, x.dtype, bwd=True, pair=pair),
+        interpret=interpret,
+    )(x, wq, wo, g)
+
+
 def _per_sample_bytes(n: int, channels: int, heads: int, bwd: bool, unroll: bool) -> int:
     """VMEM bytes one sample needs in a grid step: IO blocks (x2 for the
     cross-step DMA double buffer) + per-head intermediates (~2 fp32 (n, n)
@@ -547,7 +766,7 @@ def _bwd_impl(
     if pair is None:
         pair = _use_pair(heads, n)
     cost = pl.CostEstimate(
-        flops=b * heads * 12 * n * n * hd,  # softmax recompute + 5 VJP dots
+        flops=b * heads * 10 * n * n * hd,  # softmax recompute + 5 VJP dots
         bytes_accessed=b * n * 8 * channels * qkv.dtype.itemsize,
         transcendentals=b * heads * n * n,
     )
@@ -673,3 +892,119 @@ cosine_attention_qkv.defvjp(_vjp_fwd, _vjp_bwd)
 # batch chunk; callers should use ops.attention.flash_attention (q-blocked)
 # instead.
 MAX_FUSED_TOKENS = 512
+
+
+# ---------------------------------------------------------------------------
+# attention_block: public whole-block entry (see kernel section above)
+# ---------------------------------------------------------------------------
+
+
+def _block_partitioned_fwd(heads: int):
+    """Batch-partitioned forward: x sharded on batch, weights replicated."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    fn = lambda x, wq, wo: _block_fwd_impl(x, wq, wo, heads)
+    cp = custom_partitioning(fn)
+
+    def _axis(arg_shapes):
+        spec = getattr(arg_shapes[0].sharding, "spec", None)
+        return spec[0] if spec and len(spec) else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, PartitionSpec(_axis(arg_shapes)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        axis = _axis(arg_shapes)
+        bsh = NamedSharding(mesh, PartitionSpec(axis))
+        rep = NamedSharding(mesh, PartitionSpec())
+        return mesh, fn, bsh, (bsh, rep, rep)
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b n c, c d, e f -> b n c",
+    )
+    return cp
+
+
+def _block_partitioned_bwd(heads: int):
+    """Batch-partitioned backward: dx sharded; dW partial sums psum'd over
+    the batch axis so every shard returns the REPLICATED global gradient."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    raw = lambda x, wq, wo, g: _block_bwd_impl(x, wq, wo, g, heads)
+    cp = custom_partitioning(raw)
+
+    def _axis(arg_shapes):
+        spec = getattr(arg_shapes[0].sharding, "spec", None)
+        return spec[0] if spec and len(spec) else None
+
+    def infer(mesh, arg_shapes, result_shapes):
+        axis = _axis(arg_shapes)
+        return (
+            NamedSharding(mesh, PartitionSpec(axis)),
+            NamedSharding(mesh, PartitionSpec()),
+            NamedSharding(mesh, PartitionSpec()),
+        )
+
+    def partition(mesh, arg_shapes, result_shapes):
+        axis = _axis(arg_shapes)
+        bsh = NamedSharding(mesh, PartitionSpec(axis))
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def fn(x, wq, wo, g):
+            dx, dwq, dwo = raw(x, wq, wo, g)
+            if axis is not None:
+                dwq = jax.lax.psum(dwq, axis)
+                dwo = jax.lax.psum(dwo, axis)
+            return dx, dwq, dwo
+
+        return mesh, fn, (bsh, rep, rep), (bsh, rep, rep, bsh)
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # b is reduced away in the dW outputs -> all-reduce over its axis
+        sharding_rule="b n c, c d, e f, b n h -> b n c, c d, e f",
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _block_fwd_part(heads: int):
+    return _block_partitioned_fwd(heads)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_bwd_part(heads: int):
+    return _block_partitioned_bwd(heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def attention_block(
+    x: jnp.ndarray, wqkv: jnp.ndarray, wout: jnp.ndarray, num_heads: int
+) -> jnp.ndarray:
+    """Fused CosineAttention BLOCK: mp_add(x, out_conv(attn(qkv_conv(x))), 0.5).
+
+    x: (b, tokens, C) compute dtype; wqkv: (C, 3C) / wout: (C, C) EFFECTIVE
+    (already weight-normalized) kernels in the compute dtype. One Pallas
+    kernel forward and one backward; backward recomputes qkv/attention from
+    x (flash trade) and returns (dx, dwqkv fp32, dwout fp32) with weight
+    grads accumulated across the batch grid in VMEM.
+    """
+    return _block_fwd_part(num_heads)(x, wqkv, wout)
+
+
+def _ab_vjp_fwd(x, wqkv, wout, num_heads):
+    return _block_fwd_part(num_heads)(x, wqkv, wout), (x, wqkv, wout)
+
+
+def _ab_vjp_bwd(num_heads, res, g):
+    x, wqkv, wout = res
+    dx, dwq, dwo = _block_bwd_part(num_heads)(x, wqkv, wout, g)
+    return dx, dwq.astype(wqkv.dtype), dwo.astype(wout.dtype)
+
+
+attention_block.defvjp(_ab_vjp_fwd, _ab_vjp_bwd)
