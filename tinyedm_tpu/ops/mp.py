@@ -12,9 +12,11 @@ surrounding matmuls/convs, so no Pallas kernel is needed for them.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence
 
+import jax
 import jax.nn
 import jax.numpy as jnp
 
@@ -23,21 +25,63 @@ import jax.numpy as jnp
 _MP_SILU_SCALE = 1.0 / 0.596
 
 
+def _pixel_norm_raw(x: jnp.ndarray, axis: tuple, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=axis, keepdims=True))
+    reduced = math.prod(x.shape[a] for a in axis)
+    denom = eps + norm * (1.0 / math.sqrt(reduced))
+    return x / denom.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _pixel_norm_cvjp(x: jnp.ndarray, axis: tuple, eps: float) -> jnp.ndarray:
+    return _pixel_norm_raw(x, axis, eps)
+
+
+def _pixel_norm_fwd(x, axis, eps):
+    x32 = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=axis, keepdims=True))
+    reduced = math.prod(x.shape[a] for a in axis)
+    denom = eps + norm * (1.0 / math.sqrt(reduced))
+    # residuals: the ORIGINAL-dtype tensor + the reduced-shape norms — XLA's
+    # autodiff instead stores the fp32 upcast of x (2x the bytes for bf16
+    # activations; 268 MB per 32x32 CIFAR tensor)
+    return x / denom.astype(x.dtype), (x, norm, denom)
+
+
+def _pixel_norm_bwd(axis, eps, res, g):
+    x, norm, denom = res
+    x32 = x.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    d_cast = denom.astype(x.dtype).astype(jnp.float32)  # the rounded divisor
+    reduced = math.prod(x.shape[a] for a in axis)
+    c = 1.0 / math.sqrt(reduced)
+    inner = jnp.sum(g32 * x32, axis=axis, keepdims=True)
+    dx = g32 / d_cast - x32 * (
+        inner * c / (d_cast * d_cast * jnp.maximum(norm, 1e-30))
+    )
+    return (dx.astype(x.dtype),)
+
+
+_pixel_norm_cvjp.defvjp(_pixel_norm_fwd, _pixel_norm_bwd)
+
+
 def pixel_norm(x: jnp.ndarray, axis: int | Sequence[int] = -1, eps: float = 1e-4) -> jnp.ndarray:
     """Normalize ``x`` to unit RMS over ``axis``.
 
     Matches the reference pixel_norm (networks.py:9-14): the L2 norm over the
     reduced axes is computed in float32, scaled by ``1/sqrt(prod(reduced dims))``
     (turning it into an RMS), offset by ``eps``, and divides ``x`` in ``x.dtype``.
+
+    Differentiation goes through a custom VJP with the exact quotient-rule
+    math (same values as autodiff to fp32 rounding) whose residuals are the
+    original-dtype input plus the reduced-shape norms — not the fp32 upcast
+    tensor XLA's autodiff would store.
     """
     if isinstance(axis, int):
         axis = (axis,)
     axis = tuple(a % x.ndim for a in axis)
-    x32 = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=axis, keepdims=True))
-    reduced = math.prod(x.shape[a] for a in axis)
-    denom = eps + norm * (1.0 / math.sqrt(reduced))
-    return x / denom.astype(x.dtype)
+    return _pixel_norm_cvjp(x, axis, eps)
 
 
 def normalize(x: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
