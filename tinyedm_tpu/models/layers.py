@@ -87,6 +87,29 @@ class WNConv(nn.Module):
                 preferred_element_type=self.dtype,
             )
             return y.reshape(x.shape[:-1] + (self.features,))
+        if k == 3 and in_ch <= 8:
+            # tiny-input-channel 3x3 (conv_in: Ci = in+1): the conv emitter
+            # runs its wgrad at <10 TF/s on Ci=4 (round-2 fusion table); the
+            # 9x im2col expansion is cheap at these widths (B*H*W x 9*Ci bf16
+            # ~ 19 MB at CIFAR), and the flat GEMM takes the dot emitter
+            # fwd and bwd. Same MACs, same fp32 accumulation.
+            b, hh, ww, _ = x.shape
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            patches = jnp.concatenate(
+                [
+                    xp[:, i : i + hh, j : j + ww, :]
+                    for i in range(3)
+                    for j in range(3)
+                ],
+                axis=-1,
+            )  # (B, H, W, 9*Ci), tap-major to match HWIO flattening
+            y = jax.lax.dot_general(
+                patches.reshape(-1, 9 * in_ch),
+                w_eff.reshape(9 * in_ch, self.features).astype(self.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=self.dtype,
+            )
+            return y.reshape(b, hh, ww, self.features)
         return jax.lax.conv_general_dilated(
             x,
             w_eff.astype(self.dtype),
