@@ -529,9 +529,13 @@ def _block_sample_bytes(n: int, channels: int, heads: int, bwd: bool, pair: bool
 
 def _pick_bb_block(b: int, n: int, channels: int, heads: int, bwd: bool, pair: bool) -> int:
     fixed = 2 * channels * 4 * channels  # weights + fp32 dW accumulators
-    cap = min(8, (_BUDGET - fixed) // max(_block_sample_bytes(n, channels, heads, bwd, pair), 1))
+    hd = channels // heads
+    per = max(_block_sample_bytes(n, channels, heads, bwd, pair), 1)
     for bb in (8, 4, 2, 1):
-        if b % bb == 0 and bb <= cap:
+        if b % bb:
+            continue
+        scratch = 2 * bb * 2 * n * 2 * hd * 2 if pair else 0  # kbd+vbd
+        if bb * per + scratch + fixed <= _BUDGET:
             return bb
     return 1
 
@@ -675,9 +679,13 @@ def _pair_sample_bytes(n: int, channels: int, heads: int, bwd: bool) -> int:
 def _pick_bb_pair(b: int, n: int, channels: int, heads: int, bwd: bool) -> int:
     # bb capped at 8: larger chunks measured slower (VMEM pressure squeezes
     # the double buffers) — v5e, n=64: bb=8 0.73 ms vs bb=16 0.80 ms bwd-chain
-    cap = min(8, _BUDGET // max(_pair_sample_bytes(n, channels, heads, bwd), 1))
+    hd = channels // heads
+    per = max(_pair_sample_bytes(n, channels, heads, bwd), 1)
     for bb in (8, 4, 2, 1):
-        if b % bb == 0 and bb <= cap:
+        if b % bb:
+            continue
+        scratch = 2 * bb * 2 * n * 2 * hd * 2  # kbd+vbd, compute dtype
+        if bb * per + scratch <= _BUDGET:
             return bb
     return 1
 
