@@ -236,3 +236,30 @@ def test_eval_step_ema_index_selects_profile(setup):
     # profile 0 after one step equals the live params (EMA bootstraps at step 0)
     out_live = jax.jit(make_eval_step(model, diffuser, use_ema=False))(state, batch, rng)
     np.testing.assert_allclose(float(out0["sse"]), float(out_live["sse"]), rtol=1e-4)
+
+
+def test_grad_clip_norm():
+    """Optional global-norm clipping (beyond the reference): with a tiny
+    clip threshold the post-clip grad norm is bounded by it; with the knob
+    off (default) the same batch produces a larger norm."""
+    model = tiny_model()
+    diffuser = Diffuser(-1.2, 1.2)
+    big = (
+        jax.random.normal(jax.random.PRNGKey(3), (8, 8, 8, 1), jnp.float32) * 50.0,
+        jnp.zeros((8,), jnp.int32),
+    )
+    norms = {}
+    for clip in (None, 0.5):
+        cfg = OptimizerConfig(
+            lr=1e-3, rampup_steps=0, steady_steps=10,
+            log_norms=True, grad_clip_norm=clip,
+        )
+        img = jnp.zeros((8, 8, 8, 1))
+        state = init_train_state(jax.random.PRNGKey(0), model, img, cfg)
+        step = jax.jit(make_train_step(model, diffuser, cfg))
+        _, metrics = step(
+            state, big, jax.random.PRNGKey(2), jnp.asarray(5.0)
+        )
+        norms[clip] = float(metrics["grad_norm"])
+    assert norms[0.5] <= 0.5 + 1e-3, norms
+    assert norms[None] > norms[0.5]

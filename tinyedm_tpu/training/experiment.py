@@ -49,6 +49,8 @@ class EDMSpec:
     # emit global grad/param L2 norms from the jitted step. Wired from the
     # config's `wandb_watch:` block by the training CLI.
     log_norms: bool = False
+    # Optional global-norm gradient clipping (None = off, reference parity)
+    grad_clip_norm: Optional[float] = None
     # Which tracked EMA profile validation/checkpoint-selection evaluates
     # (generalizes the reference's single-profile swap, ema.py:83-106).
     val_ema_index: int = 0
@@ -102,6 +104,7 @@ class EDMSpec:
             scheduler_interval=self.scheduler_interval,
             accum_steps=self.accum_steps,
             log_norms=self.log_norms,
+            grad_clip_norm=self.grad_clip_norm,
         )
 
     def build_ema_config(self) -> Optional[EMAConfig]:

@@ -41,6 +41,11 @@ class OptimizerConfig:
     # wandb.watch(log="all") analog (reference train.py:28): emit global
     # gradient/parameter L2 norms as step metrics (costs two tree reductions)
     log_norms: bool = False
+    # Optional global-norm gradient clipping (beyond the reference, which
+    # ships none): guards the rare small-sigma/large-lambda(sigma) gradient
+    # spikes observed when training at full lr without the recipe's rampup
+    # (BENCH.md round-2 soak). None = off (reference parity).
+    grad_clip_norm: Optional[float] = None
 
 
 def make_adam(betas: tuple[float, float], eps: float) -> optax.GradientTransformation:
@@ -182,6 +187,20 @@ def make_train_step(
         else:
             (loss, metrics), grads = grad_fn(
                 state.params, state.constants, images, labels, rng
+            )
+
+        if opt_cfg.grad_clip_norm is not None:
+            gsq_c = sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)
+            )
+            gnorm = jnp.sqrt(gsq_c)
+            clip_scale = jnp.minimum(
+                1.0, opt_cfg.grad_clip_norm / (gnorm + 1e-12)
+            )
+            grads = jax.tree_util.tree_map(
+                lambda g: (g.astype(jnp.float32) * clip_scale).astype(g.dtype),
+                grads,
             )
 
         lr = opt_cfg.lr * edm_lr_multiplier(
