@@ -40,7 +40,7 @@ def xla_attention(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
 
 @pytest.mark.parametrize(
     "n,heads,dtype",
-    [(64, 4, jnp.bfloat16), (256, 4, jnp.bfloat16), (64, 2, jnp.float32), (16, 1, jnp.float32)],
+    [(64, 4, jnp.bfloat16), (256, 4, jnp.bfloat16), (64, 2, jnp.float32), (16, 1, jnp.float32), (56, 4, jnp.bfloat16)],
 )
 def test_forward_matches_xla(n, heads, dtype):
     c = 64 * heads
@@ -133,3 +133,39 @@ def test_module_dispatch_forced_on(monkeypatch):
 
 def test_max_fused_tokens_bound():
     assert MAX_FUSED_TOKENS == 512
+
+
+def test_pick_bb_pair_respects_vmem_budget():
+    """Regression for the imagenet512 VMEM OOM (C=768, hd=192): the chunk
+    picker must charge the kbd/vbd scratch against the budget — bb*per +
+    scratch <= _BUDGET for every returned chunk size."""
+    from tinyedm_tpu.ops.fused_attention import (
+        _BUDGET,
+        _pair_sample_bytes,
+        _pick_bb_pair,
+    )
+
+    for c, heads in [(256, 4), (768, 4), (768, 12), (512, 8), (1024, 4)]:
+        hd = c // heads
+        for n in (16, 64, 128):
+            for b in (8, 32, 256):
+                for bwd in (False, True):
+                    bb = _pick_bb_pair(b, n, c, heads, bwd)
+                    assert b % bb == 0
+                    scratch = 2 * bb * 2 * n * 2 * hd * 2
+                    assert (
+                        bb * _pair_sample_bytes(n, c, heads, bwd) + scratch
+                        <= _BUDGET
+                        or bb == 1
+                    ), (c, heads, n, b, bwd, bb)
+
+
+def test_unaligned_token_counts_avoid_kernels():
+    """MNIST's 7x7 attention (n=49) hit a Mosaic concat limitation in the
+    pair kernel; unaligned n must route to the XLA path / per-head form."""
+    from tinyedm_tpu.ops.fused_attention import _use_pair
+
+    assert not _use_pair(4, 49)
+    assert not _use_pair(4, 196)
+    assert _use_pair(4, 64)
+    assert _use_pair(4, 56)

@@ -324,9 +324,13 @@ class CosineAttention(nn.Module):
 
         qkv = WNConv(3 * c, 1, dtype=self.dtype, name="qkv_conv")(x)
 
+        # n % 8: Mosaic requires sublane-aligned token counts inside the
+        # kernels (MNIST's 7x7=49-token attention hits "offset mismatch on
+        # non-concat dimension" otherwise) — unaligned n takes the XLA path
         use_fused = self.fused == "on" or (
             self.fused == "auto"
             and n <= MAX_FUSED_TOKENS
+            and n % 8 == 0
             and jax.default_backend() == "tpu"
         )
         if use_fused:

@@ -695,8 +695,10 @@ def _use_pair(heads: int, n: int) -> bool:
     count at full-array K = 2hd, worth ~20% bwd at n = 64; at n = 256 the
     kernels are output-stream bound (time ~ heads·n² rows through the MXU)
     and the pair form's bigger fp32 (n, 2n) tensors overflow VMEM for
-    nothing (measured equal fwd, compile failure bwd). See BENCH.md round 2."""
-    return heads % 2 == 0 and n <= 128
+    nothing (measured equal fwd, compile failure bwd). Unaligned n (not a
+    sublane multiple) hits Mosaic concat/offset limitations — per-head
+    kernels handle those. See BENCH.md round 2."""
+    return heads % 2 == 0 and n <= 128 and n % 8 == 0
 
 
 def _fwd_impl(
