@@ -80,12 +80,40 @@ def check(name: str) -> None:
     )
 
 
+def check_block_kernel() -> None:
+    """Opt-in whole-block attention at narrow AND wide channels: the narrow
+    case must compile the Pallas block kernel fwd+bwd on-chip (VMEM budget
+    honored); the wide case (C=768, where the bwd dW accumulators alone
+    approach the budget) must FALL BACK to the unfused path and still
+    compile — the exact on-chip-only failure class this script exists for."""
+    from tinyedm_tpu.models.layers import CosineAttention
+    from tinyedm_tpu.ops.fused_attention import block_kernel_fits
+
+    t0 = time.perf_counter()
+    for c, n_side, heads in ((256, 16, 4), (768, 8, 4)):
+        layer = CosineAttention(num_heads=heads, dtype=jnp.bfloat16, fused="block")
+        x = jnp.zeros((8, n_side, n_side, c), jnp.bfloat16)
+        variables = layer.init(jax.random.PRNGKey(0), x)
+
+        def loss(v, x):
+            return jnp.sum(layer.apply(v, x).astype(jnp.float32) ** 2)
+
+        jax.jit(jax.grad(loss)).lower(variables, x).compile()
+        fits = block_kernel_fits(n_side * n_side, c, heads)
+        print(
+            f"block C={c:4d} n={n_side * n_side}: fwd+bwd compile OK "
+            f"({'block kernel' if fits else 'fallback path'})",
+            flush=True,
+        )
+    print(f"block-kernel probes OK ({time.perf_counter() - t0:.0f}s)", flush=True)
+
+
 def main() -> None:
-    names = sys.argv[1:] or list(SHAPES)
+    names = sys.argv[1:] or list(SHAPES) + ["block_kernel"]
     failed = []
     for name in names:
         try:
-            check(name)
+            check_block_kernel() if name == "block_kernel" else check(name)
         except Exception as e:  # noqa: BLE001 — report all, fail at end
             failed.append(name)
             print(f"{name:12s}: FAILED — {type(e).__name__}: {str(e)[:300]}", flush=True)

@@ -160,6 +160,58 @@ def test_pick_bb_pair_respects_vmem_budget():
                     ), (c, heads, n, b, bwd, bb)
 
 
+def test_pick_bb_block_charges_bwd_accumulators():
+    """Regression (ADVICE r2): the whole-block bwd kernel keeps fp32 dW
+    accumulators (16c^2 bytes) resident plus the bf16 weights (8c^2), and
+    the unrolled head/pair loop keeps every iteration's intermediates live —
+    the picker must charge all of it, and block_kernel_fits must say NO at
+    wide channels where bwd cannot fit at bb=1."""
+    from tinyedm_tpu.ops.fused_attention import (
+        _BUDGET,
+        _block_sample_bytes,
+        _pick_bb_block,
+        _use_pair,
+        block_kernel_fits,
+    )
+
+    for c, heads in [(256, 4), (512, 4), (768, 4), (768, 12)]:
+        for n in (64, 256):
+            pair = _use_pair(heads, n)
+            for b in (8, 32, 256):
+                for bwd in (False, True):
+                    bb = _pick_bb_block(b, n, c, heads, bwd, pair)
+                    assert b % bb == 0
+                    fixed = 2 * c * 4 * c + (4 * (3 * c * c + c * c) if bwd else 0)
+                    hd = c // heads
+                    scratch = 2 * bb * 2 * n * 2 * hd * 2 if pair else 0
+                    per = _block_sample_bytes(n, c, heads, bwd, pair)
+                    assert bb * per + scratch + fixed <= _BUDGET or bb == 1, (
+                        c, heads, n, b, bwd, bb,
+                    )
+    # wide channels: bwd dW accumulators (9.4 MB at C=768) + weights can't
+    # leave room — the layer must fall back, not OOM on-chip
+    assert not block_kernel_fits(64, 768, 4)
+    assert block_kernel_fits(64, 256, 4)
+
+
+def test_block_dispatch_falls_back_when_kernel_cannot_fit():
+    """CosineAttention(fused='block') at a width where the kernel can't fit
+    VMEM must take the unfused path (same math) instead of building the
+    Pallas call."""
+    from tinyedm_tpu.models.layers import CosineAttention
+
+    c = 768
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, c)) * 0.1
+    m_block = CosineAttention(num_heads=4, fused="block")
+    m_off = CosineAttention(num_heads=4, fused="off")
+    v = m_off.init(jax.random.PRNGKey(1), x)
+    y_block = m_block.apply(v, x)
+    y_off = m_off.apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(y_block), np.asarray(y_off), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_unaligned_token_counts_avoid_kernels():
     """MNIST's 7x7 attention (n=49) hit a Mosaic concat limitation in the
     pair kernel; unaligned n must route to the XLA path / per-head form."""

@@ -284,12 +284,13 @@ class CosineAttention(nn.Module):
     num_heads: int = 4
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
-    # fused-kernel dispatch: "auto" fuses the WHOLE block (qkv conv +
-    # pixel_norm + attention + out conv + residual, ops/fused_attention.py
-    # attention_block) into one Pallas kernel per direction on TPU for token
-    # counts within its VMEM-resident range; the XLA path elsewhere (CPU
-    # tests keep XLA numerics). "block" forces the block kernel, "on" forces
-    # the legacy qkv-only kernel, "off" forces the XLA path.
+    # fused-kernel dispatch: "auto" = the qkv-only fused kernel
+    # (pixel_norm + both einsums + softmax in one Pallas call) on TPU for
+    # aligned token counts n <= MAX_FUSED_TOKENS; the XLA path elsewhere
+    # (CPU tests keep XLA numerics). "block" opts into the WHOLE-block
+    # kernel (qkv conv + attention + out conv + residual,
+    # ops/fused_attention.py attention_block) where it fits VMEM; "on"
+    # forces the qkv-only kernel, "off" forces the XLA path.
     fused: str = "auto"
 
     @nn.compact
@@ -302,6 +303,7 @@ class CosineAttention(nn.Module):
         from tinyedm_tpu.ops.fused_attention import (
             MAX_FUSED_TOKENS,
             attention_block,
+            block_kernel_fits,
             cosine_attention_qkv,
         )
 
@@ -310,7 +312,9 @@ class CosineAttention(nn.Module):
         # stream too few rows per instance to match XLA's monolithic
         # (B*n, C) GEMMs, which outweighs the saved qkv/attn-out HBM round
         # trips. Kept for topologies where HBM, not MXU, is the bound.
-        use_block = self.fused == "block"
+        # At wide channels the bwd kernel's resident fp32 dW accumulators
+        # can't fit VMEM — fall back to the unfused path instead of OOMing.
+        use_block = self.fused == "block" and block_kernel_fits(n, c, self.num_heads)
         if use_block:
             wq4 = _ConvWeight((1, 1, c, 3 * c), name="qkv_conv")()
             wo4 = _ConvWeight((1, 1, c, c), name="out_conv")()

@@ -17,10 +17,13 @@ the qkv tensor, the output, and their cotangents, all in their native
 channel-minor conv layout (no transposes; per-head q/k/v slices are
 VMEM-local lane selections).
 
-Numerics match tinyedm_tpu.models.layers.CosineAttention's XLA path op for
-op (same pixel_norm formula incl. the bf16 denominator cast, fp32 logits
-and softmax, PV matmul with fp32 accumulation rounded to the compute dtype);
-the reference semantics are torch SDPA over pixel-normed heads
+Numerics match tinyedm_tpu.models.layers.CosineAttention's XLA path to
+bf16 rounding placement (exact in fp32): the same pixel_norm formula incl.
+the bf16 denominator cast, fp32 logits and softmax — but the kernels defer
+the softmax row normalization to the PV epilogue (exp(l - max) matmul'd
+with V, then one divide), which moves one bf16 rounding site relative to
+the XLA graph (forward parity tolerance 8e-3 in bf16, tests). The
+reference semantics are torch SDPA over pixel-normed heads
 (networks.py:194-201).
 
 Implementation notes:
@@ -516,19 +519,31 @@ def _attn_block_bwd_kernel(
 
 def _block_sample_bytes(n: int, channels: int, heads: int, bwd: bool, pair: bool) -> int:
     """Per-sample VMEM for the whole-block kernels: IO + qkv/y/(gat/dqkv)
-    scratches + the attention core's live intermediates."""
+    scratches + the attention core's live intermediates. The head/pair loop
+    runs with unroll=True (see _block_{fwd,bwd}_impl), so the core
+    intermediates of ALL iterations are charged as simultaneously live —
+    Mosaic may reuse some, but under-counting here is a scoped-VMEM OOM on
+    the chip that no CPU test can see (BENCH.md round 2, imagenet512)."""
     c = channels
     io = (4 if bwd else 2) * n * c * 2 * 2  # x, o (+ g, dx), double buffered
     scr = (2 * n * 4 * c + (2 * n * 4 * c if bwd else 0)) * 2  # qkv+y (+gat+dqkv)
     if pair:
-        core = (4 if bwd else 2) * n * 2 * n * 4 + 2 * n * 2 * n * 2
+        iters = max(heads // 2, 1)
+        core = iters * ((4 if bwd else 2) * n * 2 * n * 4 + 2 * n * 2 * n * 2)
     else:
-        core = (3 if bwd else 2) * n * n * 4 + (12 if bwd else 6) * n * (c // heads) * 4
+        core = heads * (
+            (3 if bwd else 2) * n * n * 4 + (12 if bwd else 6) * n * (c // heads) * 4
+        )
     return io + scr + core
 
 
 def _pick_bb_block(b: int, n: int, channels: int, heads: int, bwd: bool, pair: bool) -> int:
-    fixed = 2 * channels * 4 * channels  # weights + fp32 dW accumulators
+    c = channels
+    fixed = 2 * c * 4 * c  # bf16 weights: wq (c,3c) + wo (c,c)
+    if bwd:
+        # fp32 dW accumulator blocks stay resident across the whole grid:
+        # dwq (c,3c) + dwo (c,c) = 16c^2 bytes (~9.4 MB at C=768)
+        fixed += 4 * (3 * c * c + c * c)
     hd = channels // heads
     per = max(_block_sample_bytes(n, channels, heads, bwd, pair), 1)
     for bb in (8, 4, 2, 1):
@@ -990,6 +1005,23 @@ def _block_fwd_part(heads: int):
 @functools.lru_cache(maxsize=None)
 def _block_bwd_part(heads: int):
     return _block_partitioned_bwd(heads)
+
+
+def block_kernel_fits(n: int, channels: int, heads: int) -> bool:
+    """True if the whole-block kernels (fwd AND bwd) fit the VMEM budget at
+    bb=1. At wide channels the bwd kernel's resident fp32 dW accumulators
+    (16c^2 bytes) plus the weights alone can exceed the budget — callers
+    must fall back to the unfused path rather than OOM on-chip."""
+    pair = _use_pair(heads, n)
+    for bwd in (False, True):
+        fixed = 2 * channels * 4 * channels
+        if bwd:
+            fixed += 4 * (3 * channels * channels + channels * channels)
+        per = _block_sample_bytes(n, channels, heads, bwd, pair)
+        scratch = 2 * 1 * 2 * n * 2 * (channels // heads) * 2 if pair else 0
+        if per + scratch + fixed > _BUDGET:
+            return False
+    return True
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
