@@ -107,6 +107,127 @@ def test_imported_reference_weights_forward_parity(edm_variables):
     np.testing.assert_allclose(mine, out_ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.fixture(scope="module")
+def ref_networks():
+    ref_spec = importlib.util.spec_from_file_location("ref_networks", REF)
+    ref = importlib.util.module_from_spec(ref_spec)
+    ref_spec.loader.exec_module(ref)
+    return ref
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+def test_reference_parameter_order_matches_live_module(edm_variables, ref_networks):
+    """Pin the EMA flat-tuple ordering against the real reference modules.
+
+    The reference zips checkpoint["optimizer_states"][0]["ema"] against
+    model.parameters() (edm.py:172-181); parameters() order is module
+    registration order. Build the same composite from the REAL reference
+    networks.py modules (EDM registers embedding -> denoiser -> u,
+    edm.py:128-146; diffuser has no parameters) and assert our synthesized
+    order equals named_parameters() exactly."""
+    torch = pytest.importorskip("torch")
+    spec, model, variables = edm_variables
+    ref = ref_networks
+
+    class RefComposite(torch.nn.Module):
+        # registration order mirrors reference EDM.__init__ (edm.py:128-146)
+        def __init__(self):
+            super().__init__()
+            self.embedding = ref.Embedding(
+                fourier_dim=16, embedding_dim=32, num_classes=10
+            )
+            self.denoiser = ref.Denoiser(
+                in_channels=3, out_channels=3, embedding_dim=32, num_heads=2,
+                sigma_data=0.5, **TOPOLOGY,
+            )
+            self.u = ref.UncertaintyNet(16, 16)
+
+    module = RefComposite()
+    live_order = [n for n, _ in module.named_parameters()]
+    sd = interop.edm_params_to_torch_state_dict(spec, variables)
+    assert interop.reference_parameter_order(sd) == live_order
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+def test_import_torch_checkpoint_with_ema(tmp_path, edm_variables, ref_networks):
+    """Full --load_ema import flow: synthesize a lightning-style checkpoint
+    whose EMA rides as the reference's flat tuple in model.parameters()
+    order (ema.py:326-336), import it, and check the EMA tree lands on the
+    right leaves (values distinguish EMA from live weights)."""
+    torch = pytest.importorskip("torch")
+    import yaml
+
+    spec, model, variables = edm_variables
+    ref = ref_networks
+
+    class RefComposite(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embedding = ref.Embedding(
+                fourier_dim=16, embedding_dim=32, num_classes=10
+            )
+            self.denoiser = ref.Denoiser(
+                in_channels=3, out_channels=3, embedding_dim=32, num_heads=2,
+                sigma_data=0.5, **TOPOLOGY,
+            )
+            self.u = ref.UncertaintyNet(16, 16)
+
+    module = RefComposite()
+    sd_np = interop.edm_params_to_torch_state_dict(spec, variables)
+    module.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd_np.items()}, strict=True
+    )
+    # EMA values = 2p + 1: same shapes as the parameters, different values,
+    # built by iterating parameters() exactly as the reference does
+    ema_flat = tuple(p.detach().clone() * 2.0 + 1.0 for p in module.parameters())
+    ckpt = {
+        "state_dict": module.state_dict(),
+        "optimizer_states": [
+            {"ema": ema_flat, "current_step": 777, "gamma": 4.6, "every_n_steps": 1}
+        ],
+        "global_step": 777,
+    }
+    torch.save(ckpt, tmp_path / "ref_ema.ckpt")
+
+    from tinyedm_tpu.config.registry import deinstantiate
+
+    with open(tmp_path / "config.yaml", "w") as f:
+        yaml.safe_dump({"model": deinstantiate(spec)}, f)
+
+    interop.import_torch_checkpoint(
+        str(tmp_path / "ref_ema.ckpt"), str(tmp_path / "config.yaml"),
+        str(tmp_path / "imported_ema"), load_ema=True,
+    )
+
+    from tinyedm_tpu.training.checkpoint import load_edm_from_checkpoint
+
+    spec2, model2, variables2, state = load_edm_from_checkpoint(
+        tmp_path / "imported_ema"
+    )
+    assert len(state.ema) == 1
+    # every EMA leaf must equal 2*param + 1 under the same tree paths
+    flat_p = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat_e = jax.tree_util.tree_flatten_with_path(state.ema[0])[0]
+    assert len(flat_p) == len(flat_e)
+    for (pp, p), (pe, e) in zip(flat_p, flat_e):
+        assert pp == pe
+        np.testing.assert_allclose(
+            np.asarray(e), np.asarray(p) * 2.0 + 1.0, rtol=1e-6, atol=1e-6
+        )
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+def test_ema_flat_length_mismatch_rejected(edm_variables):
+    """A truncated EMA tuple (architecture mismatch) must raise, not
+    silently mis-zip."""
+    spec, model, variables = edm_variables
+    sd = interop.edm_params_to_torch_state_dict(spec, variables)
+    order = interop.reference_parameter_order(sd)
+    flat = [np.asarray(sd[k]) for k in order][:-1]
+    with pytest.raises(ValueError, match="architecture mismatch"):
+        interop.ema_state_dict_from_flat(sd, flat)
+
+
 @pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
 def test_import_torch_checkpoint_cli(tmp_path, edm_variables):
     """Full import flow: synthesize a lightning-style .ckpt whose state_dict

@@ -180,6 +180,92 @@ def embedding_from_torch(sd: Mapping) -> tuple[dict, dict]:
     return params, constants
 
 
+# ---------------------------------------------------- EMA flat-tuple import
+
+
+def reference_parameter_order(torch_sd: Mapping) -> list[str]:
+    """Parameter names in the reference's ``model.parameters()`` order.
+
+    The reference checkpoints EMA weights as a FLAT tuple in optimizer
+    param-group order (ema.py:222-226,326-336), read back by zipping against
+    ``model.parameters()`` (edm.py:172-181). That order is torch's
+    named_parameters DFS: each module yields its DIRECT nn.Parameters (in
+    registration order) before descending into submodules. EDM registers
+    embedding, denoiser, then the optional uncertainty head (edm.py:128-146);
+    Denoiser's direct param gain_out precedes conv_in/conv_out/blocks
+    (networks.py:528-546); each block's direct param ``gain`` precedes
+    [cat_factor] -> [conv_1x1] -> conv_3x3_1 -> conv_3x3_2 -> [attention] ->
+    embed (networks.py:210-244,268-304); UncertaintyNet's ``gain`` precedes
+    linear1/linear2. Optional modules are detected by key presence in
+    ``torch_sd``; buffers (fourier freqs/phases) are not parameters and are
+    excluded. Pinned against the live reference module in
+    tests/test_interop.py.
+    """
+
+    def block_count(side: str) -> int:
+        idxs = [
+            int(k.split(".")[2])
+            for k in torch_sd
+            if k.startswith(f"denoiser.{side}_blocks.")
+        ]
+        return max(idxs) + 1 if idxs else 0
+
+    order = [
+        "embedding.sigma_embed.weight",
+        "embedding.class_embed.linear.weight",
+        "denoiser.gain_out",
+        "denoiser.conv_in.weight",
+        "denoiser.conv_out.weight",
+    ]
+    for side in ("encoder", "decoder"):
+        for i in range(block_count(side)):
+            p = f"denoiser.{side}_blocks.{i}"
+            order.append(f"{p}.gain")
+            if side == "decoder":
+                order += [f"{p}.cat_factor.layer1.weight", f"{p}.cat_factor.layer2.weight"]
+            order += [
+                f"{p}.conv_1x1.weight",
+                f"{p}.conv_3x3_1.weight",
+                f"{p}.conv_3x3_2.weight",
+                f"{p}.attention.qkv_conv.weight",
+                f"{p}.attention.out_conv.weight",
+                f"{p}.embed.weight",
+            ]
+    order += ["u.gain", "u.linear1.weight", "u.linear2.weight"]
+    return [k for k in order if k in torch_sd]
+
+
+def ema_state_dict_from_flat(torch_sd: Mapping, ema_flat) -> dict:
+    """Rebuild a named state_dict from the reference's flat EMA tuple.
+
+    ``torch_sd`` is the checkpoint's ``state_dict`` (supplies the name order
+    and the non-parameter buffers); ``ema_flat`` is
+    ``checkpoint["optimizer_states"][0]["ema"]``.
+    """
+    param_names = reference_parameter_order(torch_sd)
+    if len(param_names) != len(ema_flat):
+        raise ValueError(
+            f"EMA tuple has {len(ema_flat)} tensors but the state_dict has "
+            f"{len(param_names)} parameters — architecture mismatch"
+        )
+    out = {}
+    for name, ema_t in zip(param_names, ema_flat):
+        ref_shape = tuple(_to_np(torch_sd[name]).shape)
+        ema_np = _to_np(ema_t)
+        if tuple(ema_np.shape) != ref_shape:
+            raise ValueError(
+                f"EMA tensor for {name} has shape {tuple(ema_np.shape)}, "
+                f"expected {ref_shape} — parameter-order mismatch"
+            )
+        out[name] = ema_np
+    # carry the buffers (fourier freqs/phases) unchanged — they are constants,
+    # not EMA-tracked parameters
+    for name, v in torch_sd.items():
+        if name not in out:
+            out[name] = _to_np(v)
+    return out
+
+
 # ------------------------------------------------------------ EDM composite
 
 
@@ -259,18 +345,19 @@ def import_torch_checkpoint(
     params = variables["params"]
 
     ema = ()
-    if load_ema and isinstance(ckpt, dict):
+    if load_ema:
+        if not isinstance(ckpt, dict) or "optimizer_states" not in ckpt:
+            raise ValueError("EMA weights not found in the checkpoint.")
         try:
             ema_flat = ckpt["optimizer_states"][0]["ema"]
         except (KeyError, IndexError):
             raise ValueError("EMA weights not found in the checkpoint.")
-        # reference EMA rides as a flat tuple in the reference's parameter
-        # order; rebuilding the tree needs that order — left for when a real
-        # reference checkpoint is available to pin the ordering against.
-        raise NotImplementedError(
-            "EMA import needs a real reference checkpoint to pin parameter "
-            "ordering; import the raw weights and re-track EMA instead."
-        )
+        # the reference stores EMA as a flat tuple in model.parameters()
+        # order (ema.py:326-336); rebuild the named state_dict, then convert
+        # like any other weight tree and store it as EMA profile 0 — our
+        # generate.py --load_ema evaluates it (no in-place swap needed)
+        ema_sd = ema_state_dict_from_flat(sd, ema_flat)
+        ema = (edm_params_from_torch_state_dict(spec, ema_sd)["params"],)
 
     opt_cfg = spec.build_optimizer_config()
     tx = make_adam(opt_cfg.betas, opt_cfg.eps)
@@ -292,8 +379,14 @@ def main(argv=None) -> None:
     p.add_argument("--torch_ckpt", required=True)
     p.add_argument("--config", required=True, help="matching experiment YAML")
     p.add_argument("--out_dir", required=True)
+    p.add_argument(
+        "--load_ema",
+        action="store_true",
+        help="also import the reference's EMA weights "
+        "(optimizer_states[0]['ema']) as EMA profile 0",
+    )
     args = p.parse_args(argv)
-    import_torch_checkpoint(args.torch_ckpt, args.config, args.out_dir)
+    import_torch_checkpoint(args.torch_ckpt, args.config, args.out_dir, args.load_ema)
 
 
 if __name__ == "__main__":
