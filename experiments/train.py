@@ -64,6 +64,10 @@ def main(argv=None) -> None:
         cfg["model"],
         accum_steps=tcfg.get("accumulate_grad_batches", 1),
         log_norms=bool(watch_cfg.get("enabled", bool(watch_cfg))),
+        # per-layer fidelity (reference log="all" logs per-parameter
+        # histograms; this emits per-module-group norms — opt-in, see
+        # docs/CONFIG.md for the measured cost)
+        log_norms_per_layer=bool(watch_cfg.get("per_layer", False)),
     )
     datamodule = instantiate(cfg["datamodule"])
     if hasattr(datamodule, "seed"):

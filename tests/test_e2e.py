@@ -168,9 +168,32 @@ def test_small_val_set_produces_real_val_loss(tmp_path):
     trainer.datamodule.prepare_data(); trainer.datamodule.setup()
     trainer.state = trainer._init_state()
     val = trainer.validate()
-    # 8-device CPU mesh: 5 % 8 != 0 -> all 5 skipped -> None (not 0.0!)
-    # 1-device (real TPU): val is a real positive loss
-    assert val is None or val > 0.01
+    # pad-and-mask validation: even 5 samples on the 8-device CPU mesh are
+    # padded to the divisor with zero-weight rows — every sample counts, on
+    # any mesh (reference torchmetrics counts every sample, metric.py:34-36)
+    assert val is not None and val > 0.01
+
+
+def test_multi_profile_val_series(tmp_path):
+    """A multi-profile EMA run logs one val_loss series per tracked profile
+    (val_loss/ema_{sigma_rel}) in metrics.jsonl."""
+    import json
+
+    spec = tiny_spec()
+    spec.ema_lengths = (0.05, 0.13)
+    spec.val_ema_index = 1
+    trainer = make_trainer(tmp_path, spec, max_epochs=1)
+    trainer.fit()
+    records = [
+        json.loads(l)
+        for l in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+    ]
+    val_recs = [r for r in records if "val_loss/ema_0.05" in r]
+    assert val_recs, "expected per-profile val series in metrics.jsonl"
+    rec = val_recs[-1]
+    assert "val_loss/ema_0.13" in rec and "val_loss" in rec
+    # the primary series tracks the selected profile exactly
+    np.testing.assert_allclose(rec["val_loss"], rec["val_loss/ema_0.13"])
 
 
 def test_latents_generate_callback_without_vae(tmp_path):

@@ -152,6 +152,55 @@ def test_eval_step(setup):
     assert np.isfinite(float(out2["sse"]))
 
 
+def test_eval_step_per_profile_metrics(setup):
+    """n_profiles returns one sse per tracked EMA profile on SHARED diffuse
+    draws; the primary sse equals the selected profile's entry, and pad-mask
+    rows are excluded from every profile's sum."""
+    model, diffuser, _, _, state, step = setup
+    batch = _fake_batch(jax.random.PRNGKey(11))
+    ev = jax.jit(make_eval_step(model, diffuser, use_ema=True, ema_index=1, n_profiles=2))
+    out = ev(state, batch, jax.random.PRNGKey(12))
+    assert set(out) == {"sse", "count", "sse_ema0", "sse_ema1"}
+    np.testing.assert_allclose(float(out["sse"]), float(out["sse_ema1"]))
+    # same draws, different profile weights at a trained state would differ;
+    # at init ema == params so the profiles agree (sanity on shared draws)
+    np.testing.assert_allclose(float(out["sse_ema0"]), float(out["sse_ema1"]), rtol=1e-6)
+    # masked rows drop out of all sums: full batch with tail mask==0 equals
+    # the head alone evaluated with an all-ones mask of the same shape? the
+    # per-sample key folding makes the head rows' draws identical either way
+    images, labels = batch
+    mask = np.ones((images.shape[0],), np.float32)
+    mask[-3:] = 0.0
+    out_masked = ev(state, (images, labels, jnp.asarray(mask)), jax.random.PRNGKey(12))
+    assert float(out_masked["count"]) == images.shape[0] - 3
+    assert float(out_masked["sse"]) < float(out["sse"])
+
+
+def test_log_norms_per_layer():
+    """wandb_watch.per_layer (reference log="all" fidelity): one grad_norm/
+    and param_norm/ series per depth-2 param group; per-layer grad norms are
+    pre-clip and their squares sum to the global grad_norm squared."""
+    model = tiny_model()
+    diffuser = Diffuser(-1.2, 1.2)
+    cfg = OptimizerConfig(
+        lr=1e-3, rampup_steps=0, steady_steps=10,
+        log_norms=True, log_norms_per_layer=True, grad_clip_norm=0.05,
+    )
+    batch = _fake_batch(jax.random.PRNGKey(4))
+    state = init_train_state(jax.random.PRNGKey(0), model, batch[0], cfg)
+    step = jax.jit(make_train_step(model, diffuser, cfg))
+    _, m = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(0.0))
+    g_keys = [k for k in m if k.startswith("grad_norm/")]
+    p_keys = [k for k in m if k.startswith("param_norm/")]
+    assert g_keys and len(g_keys) == len(p_keys)
+    # denoiser groups are per-block (depth 2), not one blob
+    assert sum(k.startswith("grad_norm/denoiser.") for k in g_keys) > 1
+    # pre-clip decomposition: sum of squared group norms == global norm^2
+    total = sum(float(m[k]) ** 2 for k in g_keys)
+    np.testing.assert_allclose(total, float(m["grad_norm"]) ** 2, rtol=1e-5)
+    assert all(np.isfinite(float(m[k])) for k in g_keys + p_keys)
+
+
 def test_conditional_and_uncertainty_train_step():
     model = tiny_model(num_classes=4, use_uncertainty=True)
     diffuser = Diffuser(-1.2, 1.2)
@@ -239,16 +288,18 @@ def test_eval_step_ema_index_selects_profile(setup):
 
 
 def test_grad_clip_norm():
-    """Optional global-norm clipping (beyond the reference): with a tiny
-    clip threshold the post-clip grad norm is bounded by it; with the knob
-    off (default) the same batch produces a larger norm."""
+    """Optional global-norm clipping (beyond the reference). Logged
+    grad_norm is the PRE-clip global norm (so spike magnitude stays
+    observable even when clipping saturates — ADVICE r2); clip_scale
+    records how hard the clip engaged, and clip_scale * grad_norm is the
+    post-clip norm, bounded by the threshold."""
     model = tiny_model()
     diffuser = Diffuser(-1.2, 1.2)
     big = (
         jax.random.normal(jax.random.PRNGKey(3), (8, 8, 8, 1), jnp.float32) * 50.0,
         jnp.zeros((8,), jnp.int32),
     )
-    norms = {}
+    out = {}
     for clip in (None, 0.5):
         cfg = OptimizerConfig(
             lr=1e-3, rampup_steps=0, steady_steps=10,
@@ -260,6 +311,14 @@ def test_grad_clip_norm():
         _, metrics = step(
             state, big, jax.random.PRNGKey(2), jnp.asarray(5.0)
         )
-        norms[clip] = float(metrics["grad_norm"])
-    assert norms[0.5] <= 0.5 + 1e-3, norms
-    assert norms[None] > norms[0.5]
+        out[clip] = metrics
+    # identical batch -> identical raw norm either way (pre-clip logging)
+    np.testing.assert_allclose(
+        float(out[None]["grad_norm"]), float(out[0.5]["grad_norm"]), rtol=1e-5
+    )
+    raw = float(out[0.5]["grad_norm"])
+    assert raw > 0.5  # the spike is real
+    assert "clip_scale" not in out[None]
+    scale = float(out[0.5]["clip_scale"])
+    # post-clip norm = scale * raw, bounded by the threshold
+    np.testing.assert_allclose(scale * raw, 0.5, rtol=1e-4)

@@ -107,10 +107,12 @@ class ShardingPlan:
 
     def jit_train_step(self, train_step):
         rep = replicated(self.mesh)
+        # the batch sharding is a pytree PREFIX: every batch leaf (images,
+        # labels, optional mask) splits its leading dim over ``data``
         data = batch_sharding(self.mesh)
         return jax.jit(
             train_step,
-            in_shardings=(rep, (data, data), rep, rep),
+            in_shardings=(rep, data, rep, rep),
             out_shardings=(rep, rep),
             donate_argnums=(0,),
         )
@@ -120,6 +122,6 @@ class ShardingPlan:
         data = batch_sharding(self.mesh)
         return jax.jit(
             eval_step,
-            in_shardings=(rep, (data, data), rep),
+            in_shardings=(rep, data, rep),
             out_shardings=rep,
         )

@@ -49,6 +49,9 @@ class EDMSpec:
     # emit global grad/param L2 norms from the jitted step. Wired from the
     # config's `wandb_watch:` block by the training CLI.
     log_norms: bool = False
+    # wandb_watch.per_layer: additionally emit grad_norm/<module.child> and
+    # param_norm/<module.child> per depth-2 param group (pre-clip grads)
+    log_norms_per_layer: bool = False
     # Optional global-norm gradient clipping (None = off, reference parity)
     grad_clip_norm: Optional[float] = None
     # Which tracked EMA profile validation/checkpoint-selection evaluates
@@ -104,6 +107,7 @@ class EDMSpec:
             scheduler_interval=self.scheduler_interval,
             accum_steps=self.accum_steps,
             log_norms=self.log_norms,
+            log_norms_per_layer=self.log_norms_per_layer,
             grad_clip_norm=self.grad_clip_norm,
         )
 

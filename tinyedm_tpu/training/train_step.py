@@ -41,11 +41,31 @@ class OptimizerConfig:
     # wandb.watch(log="all") analog (reference train.py:28): emit global
     # gradient/parameter L2 norms as step metrics (costs two tree reductions)
     log_norms: bool = False
+    # per-layer watch fidelity (wandb_watch.per_layer): additionally emit
+    # grad_norm/<module.child> + param_norm/<module.child> for every depth-2
+    # param group (per-block for the denoiser) — the reference's log="all"
+    # per-parameter histograms, reduced to norms. Grad norms are PRE-clip.
+    log_norms_per_layer: bool = False
     # Optional global-norm gradient clipping (beyond the reference, which
     # ships none): guards the rare small-sigma/large-lambda(sigma) gradient
     # spikes observed when training at full lr without the recipe's rampup
     # (BENCH.md round-2 soak). None = off (reference parity).
     grad_clip_norm: Optional[float] = None
+
+
+def _param_groups(tree):
+    """Depth-2 param groups for per-layer watch: ``<top>.<child>`` per
+    denoiser block / embedding table / uncertainty layer (the reference's
+    wandb.watch(log="all") logs per-parameter histograms, train.py:28; we
+    reduce each registered submodule to an L2 norm — per-layer-debugging
+    granularity without histogram device pulls)."""
+    for top in sorted(tree):
+        sub = tree[top]
+        if hasattr(sub, "items"):  # mapping node (dict / FrozenDict)
+            for child in sorted(sub):
+                yield f"{top}.{child}", sub[child]
+        else:
+            yield top, sub
 
 
 def make_adam(betas: tuple[float, float], eps: float) -> optax.GradientTransformation:
@@ -189,14 +209,33 @@ def make_train_step(
                 state.params, state.constants, images, labels, rng
             )
 
-        if opt_cfg.grad_clip_norm is not None:
+        # pre-clip global norm: reused by the clip branch AND by log_norms,
+        # so logged grad_norm shows raw spike magnitude even when clipping
+        # saturates (the spikes are what motivated the knob)
+        raw_gnorm = None
+        if opt_cfg.grad_clip_norm is not None or opt_cfg.log_norms:
             gsq_c = sum(
                 jnp.sum(jnp.square(g.astype(jnp.float32)))
                 for g in jax.tree_util.tree_leaves(grads)
             )
-            gnorm = jnp.sqrt(gsq_c)
+            raw_gnorm = jnp.sqrt(gsq_c)
+        per_layer_norms = {}
+        if opt_cfg.log_norms_per_layer:
+            # grads here are still PRE-clip (clip rescales below); params are
+            # the step-input weights — together one extra pass over each tree,
+            # fused by XLA into small grouped reductions
+            for prefix, tree in (("grad_norm", grads), ("param_norm", state.params)):
+                for name, group in _param_groups(tree):
+                    per_layer_norms[f"{prefix}/{name}"] = jnp.sqrt(
+                        sum(
+                            jnp.sum(jnp.square(l.astype(jnp.float32)))
+                            for l in jax.tree_util.tree_leaves(group)
+                        )
+                    )
+        clip_scale = None
+        if opt_cfg.grad_clip_norm is not None:
             clip_scale = jnp.minimum(
-                1.0, opt_cfg.grad_clip_norm / (gnorm + 1e-12)
+                1.0, opt_cfg.grad_clip_norm / (raw_gnorm + 1e-12)
             )
             grads = jax.tree_util.tree_map(
                 lambda g: (g.astype(jnp.float32) * clip_scale).astype(g.dtype),
@@ -234,44 +273,96 @@ def make_train_step(
         if "uncertainty" in metrics:
             out_metrics["uncertainty"] = metrics["uncertainty"]
         if opt_cfg.log_norms:
-            gsq = sum(
-                jnp.sum(jnp.square(g.astype(jnp.float32)))
-                for g in jax.tree_util.tree_leaves(grads)
-            )
             psq = sum(
                 jnp.sum(jnp.square(p.astype(jnp.float32)))
                 for p in jax.tree_util.tree_leaves(params)
             )
-            out_metrics["grad_norm"] = jnp.sqrt(gsq)
+            out_metrics["grad_norm"] = raw_gnorm  # pre-clip (see above)
             out_metrics["param_norm"] = jnp.sqrt(psq)
+            if clip_scale is not None:
+                # < 1.0 exactly when clipping engaged this step
+                out_metrics["clip_scale"] = clip_scale
+        out_metrics.update(per_layer_norms)
         return new_state, out_metrics
 
     return train_step
 
 
-def make_eval_step(model: EDM, diffuser: Diffuser, use_ema: bool = False, ema_index: int = 0):
+def make_eval_step(
+    model: EDM,
+    diffuser: Diffuser,
+    use_ema: bool = False,
+    ema_index: int = 0,
+    n_profiles: int = 0,
+):
     """Validation step (reference: edm.py:238-248): diffuse with the same
     log-normal sigma law, denoise without dropout, return (sse, count) for
     exact cross-batch/cross-device averaging. With use_ema the EMA weights are
     evaluated — the functional analog of the swap-for-validation dance
     (ema.py:83-106): no swap needed, just pass the other tree.
+
+    ``batch`` is (images, labels) or (images, labels, mask): the optional
+    per-sample 0/1 mask lets callers pad batches up to the mesh data-axis
+    divisor while keeping the metric exact — pad rows get loss weight 0 and
+    are excluded from the count, so val_loss matches the reference's
+    every-sample torchmetrics accumulation (metric.py:34-36) on any mesh.
+
+    Noise draws are per-sample (key folded by sample index), so a sample's
+    (sigma, noise) draw is independent of the batch shape — padded and
+    unpadded batches give every real sample identical draws, making val_loss
+    mesh-size-invariant, not just statistically equivalent.
+
+    With ``n_profiles > 0`` the step additionally evaluates EVERY tracked
+    EMA profile on the same diffuse draws and returns ``sse_ema{i}`` sums —
+    one val series per profile (generalizes the reference's single-profile
+    swap, ema.py:83-106, to multi-profile checkpoint selection). Costs one
+    extra forward per extra profile, only at validation cadence.
     """
     sigma_data = model.sigma_data
     conditional = model.conditional
 
     def eval_step(state: TrainState, batch, rng: jax.Array):
-        images, labels = batch
-        params = state.ema[ema_index] if use_ema else state.params
-        noisy, sigma = diffuser(rng, images)
-        denoised = model.apply(
-            {"params": params, "constants": state.constants},
-            noisy,
-            sigma,
-            labels if conditional else None,
-            train=False,
+        images, labels, *rest = batch
+        mask = rest[0] if rest else None
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(images.shape[0])
         )
+        noisy, sigma = jax.vmap(
+            lambda k, x: jax.tree_util.tree_map(
+                lambda y: y[0], diffuser(k, x[None])
+            )
+        )(keys, images)
         weight = edm_loss_weight(sigma, sigma_data)
-        sse, n = weighted_sum_squared_error(weight, denoised, images)
-        return {"sse": sse, "count": n}
+        if mask is not None:
+            m = mask.astype(jnp.float32)
+            weight = weight * m
+            count = jnp.sum(m)
+        else:
+            count = jnp.asarray(images.shape[0], jnp.float32)
+
+        def sse_with(params):
+            denoised = model.apply(
+                {"params": params, "constants": state.constants},
+                noisy,
+                sigma,
+                labels if conditional else None,
+                train=False,
+            )
+            sse, _ = weighted_sum_squared_error(weight, denoised, images)
+            return sse
+
+        profile_sse = {i: sse_with(state.ema[i]) for i in range(n_profiles)}
+        if use_ema:
+            primary = (
+                profile_sse[ema_index]
+                if ema_index in profile_sse
+                else sse_with(state.ema[ema_index])
+            )
+        else:
+            primary = sse_with(state.params)
+        out = {"sse": primary, "count": count}
+        for i, s in profile_sse.items():
+            out[f"sse_ema{i}"] = s
+        return out
 
     return eval_step

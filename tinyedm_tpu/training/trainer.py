@@ -87,12 +87,18 @@ class Trainer:
         self._train_step = self.plan.jit_train_step(
             make_train_step(self.model, self.diffuser, self.opt_cfg, self.ema_cfg)
         )
+        self._ema_sigma_rels = tuple(self.ema_cfg.sigma_rels) if self.use_ema else ()
         self._eval_step = self.plan.jit_eval_step(
             make_eval_step(
                 self.model,
                 self.diffuser,
                 use_ema=self.use_ema and not spec.validate_original_weights,
                 ema_index=spec.val_ema_index,
+                # per-profile val series whenever more than one EMA profile is
+                # tracked (one extra forward per profile, val cadence only)
+                n_profiles=(
+                    len(self._ema_sigma_rels) if len(self._ema_sigma_rels) > 1 else 0
+                ),
             )
         )
         self._solve_cache: dict = {}
@@ -215,34 +221,42 @@ class Trainer:
     def validate(self) -> Optional[float]:
         assert self.state is not None
         sse, count = 0.0, 0.0
-        skipped = 0
+        profile_sse: dict[int, float] = {}
         data_size = self.mesh.shape.get("data", 1)
         rng = jax.random.PRNGKey(self.seed + 777)
         for i, (images, labels) in enumerate(self.datamodule.val_batches()):
-            # batch must split evenly over the mesh data axis; trim the tail
-            # remainder (reported) rather than crash or silently pad
-            keep = (len(images) // data_size) * data_size
-            if keep == 0:
-                skipped += len(images)
-                continue
-            if keep < len(images):
-                skipped += len(images) - keep
-                images, labels = images[:keep], labels[:keep]
-            batch = shard_batch(self.mesh, (images, labels))
+            # batch must split evenly over the mesh data axis; pad the tail
+            # with zero-weight rows so every real sample counts — val_loss is
+            # exact on any mesh (reference torchmetrics parity, metric.py:34-36)
+            n = len(images)
+            pad = (-n) % data_size
+            mask = np.ones((n + pad,), np.float32)
+            if pad:
+                mask[n:] = 0.0
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+                )
+                if labels is not None:
+                    labels = np.concatenate(
+                        [labels, np.zeros((pad,) + np.shape(labels)[1:], np.asarray(labels).dtype)]
+                    )
+            batch = shard_batch(self.mesh, (images, labels, mask))
             out = self._eval_step(self.state, batch, jax.random.fold_in(rng, i))
             sse += float(out["sse"])
             count += float(out["count"])
-        if skipped:
-            self.logger.log_text(
-                "trainer",
-                f"validation: {skipped} tail samples skipped (mesh data axis "
-                f"{data_size} divisibility)",
-            )
+            for j in range(len(self._ema_sigma_rels)):
+                key = f"sse_ema{j}"
+                if key in out:
+                    profile_sse[j] = profile_sse.get(j, 0.0) + float(out[key])
         if count == 0:  # empty val set: no metric (never a fake 0.0)
             self.logger.log_text("trainer", "validation skipped: empty val set")
             return None
         val_loss = sse / count
-        self.logger.log_metrics({"val_loss": val_loss}, step=self.global_step)
+        metrics = {"val_loss": val_loss}
+        for j, s in profile_sse.items():
+            # one val series per tracked EMA profile, named by sigma_rel
+            metrics[f"val_loss/ema_{self._ema_sigma_rels[j]}"] = s / count
+        self.logger.log_metrics(metrics, step=self.global_step)
         for cb in self.callbacks:
             cb.on_validation_end(self)
         return val_loss
