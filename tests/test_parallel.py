@@ -117,7 +117,74 @@ def test_eval_step_sharded_metrics(mesh8):
     assert np.isfinite(float(out["sse"]))
 
 
-def test_model_axis_stub():
-    """The model axis exists in the mesh API so TP is a config change."""
+def test_model_axis_composes_with_train_step():
+    """The model axis exists in the mesh API so TP is a config change — and
+    the full train step (incl. custom_partitioning kernels) must actually
+    compile and run on a (data=4, model=2) mesh, catching replication/
+    partition conflicts before TP is ever real."""
     mesh = make_mesh(model_parallel=2)
     assert mesh.shape == {"data": 4, "model": 2}
+    model = tiny_model()
+    diffuser = Diffuser(-1.2, 1.2)
+    cfg = OptimizerConfig(lr=1e-3, rampup_steps=1, steady_steps=2)
+    img = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 8, 1))
+    state = replicate_state(
+        mesh, init_train_state(jax.random.PRNGKey(1), model, img, cfg)
+    )
+    plan = ShardingPlan(mesh)
+    step = plan.jit_train_step(make_train_step(model, diffuser, cfg))
+    batch = shard_batch(mesh, (np.asarray(img), np.zeros((16,), np.int32)))
+    state, metrics = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(0.0))
+    assert np.isfinite(float(metrics["train_loss"]))
+    assert float(metrics["count"]) == 16
+
+
+def test_padded_validation_exact_on_nondivisible_val_set(tmp_path, mesh8):
+    """A val set whose tail batch does not divide the mesh data axis must
+    produce EXACTLY the single-device val_loss: pad rows carry weight 0 and
+    eval noise draws are per-sample (batch-shape-invariant), so every real
+    sample contributes identically on any mesh (reference torchmetrics
+    counts every sample, metric.py:34-36)."""
+    from tinyedm_tpu.data.datamodules import SyntheticDataModule
+    from tinyedm_tpu.diffusion.diffuser import Diffuser as Diff
+    from tinyedm_tpu.models.edm import EDM  # noqa: F401  (spec deps)
+    from tinyedm_tpu.training.experiment import EDMSpec
+    from tinyedm_tpu.training.trainer import Trainer
+    from tinyedm_tpu.models.layers import Embedding
+    from tinyedm_tpu.models.unet import Denoiser
+
+    class TinyValDM(SyntheticDataModule):
+        def __init__(self):
+            super().__init__(batch_size=16, image_size=8, num_channels=1,
+                             num_samples=64)
+            # 20 val samples -> batches of 16 and 4; 4 % 8 != 0
+            self.val_images = self.train_images[:20]
+            self.val_labels = self.train_labels[:20]
+
+    def spec():
+        return EDMSpec(
+            diffuser=Diff(P_mean=-1.2, P_std=1.2),
+            embedding=Embedding(fourier_dim=8, embedding_dim=16, num_classes=10),
+            denoiser=Denoiser(
+                in_channels=1, out_channels=1, embedding_dim=16, num_heads=2,
+                sigma_data=0.5,
+                encoder_block_types=("Enc", "EncD"),
+                decoder_block_types=("Dec", "DecU", "Dec", "Dec"),
+                encoder_out_channels=(8, 16),
+                decoder_out_channels=(16, 8, 8, 8),
+                skip_connections=(True, False, True, True),
+            ),
+        )
+
+    losses = {}
+    for name, mesh in (("one", make_mesh(num_devices=1)), ("eight", mesh8)):
+        trainer = Trainer(
+            spec=spec(), datamodule=TinyValDM(), max_epochs=1,
+            out_dir=tmp_path / f"run_{name}", seed=0, mesh=mesh,
+        )
+        trainer.datamodule.prepare_data()
+        trainer.datamodule.setup("fit")
+        trainer.state = trainer._init_state()
+        losses[name] = trainer.validate()
+    assert losses["one"] is not None
+    np.testing.assert_allclose(losses["one"], losses["eight"], rtol=1e-6)
