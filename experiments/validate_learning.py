@@ -49,6 +49,16 @@ def make_dataset(num_classes=4, size=16, n_per_class=512, seed=0):
 
 
 def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--mod_fp32", choices=["true", "false"], default="true",
+        help="fp32 (reference-parity) vs bf16 modulation islands — the A/B "
+        "evidence behind the docs/PERFORMANCE.md mod_fp32 knob",
+    )
+    args = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -85,6 +95,7 @@ def main() -> None:
             skip_connections=(True, True, False, True, True, True),
             dropout_rate=0.05,
             dtype=jnp.bfloat16,
+            mod_fp32=args.mod_fp32 == "true",
         ),
     )
     diffuser = Diffuser(P_mean=-1.2, P_std=1.2)
