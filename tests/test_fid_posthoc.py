@@ -291,6 +291,54 @@ class TestInceptionPort:
         feats2 = model.apply({"params": params2}, preprocess_uint8(imgs))
         assert np.any(np.asarray(feats) != np.asarray(feats2))
 
+    def test_geometry_matches_torchvision_golden(self):
+        """Pin per-stage spatial/channel geometry against torchvision's
+        inception_v3 graph (golden shapes at the canonical 299x299 input).
+        The conversion test above checks weights flow through; THIS test
+        pins stride/padding/pool geometry per stage — a silent topology
+        deviation would skew every future real-FID number while conversion
+        tests stay green. Shapes via jax.eval_shape (no FLOPs). The
+        one-command torchvision cross-check for an environment with weights
+        is documented in utils/inception.py."""
+        import jax
+        import jax.numpy as jnp
+
+        from tinyedm_tpu.utils.inception import InceptionV3Pool3
+
+        model = InceptionV3Pool3()
+
+        def run(x):
+            variables = model.init(jax.random.PRNGKey(0), x)
+            return model.apply(variables, x, capture_intermediates=True)
+
+        out, mods = jax.eval_shape(
+            run, jax.ShapeDtypeStruct((1, 299, 299, 3), jnp.float32)
+        )
+        inter = mods["intermediates"]
+        # torchvision inception_v3 stage-output shapes (NHWC), 299x299 input
+        golden = {
+            "Conv2d_1a_3x3": (1, 149, 149, 32),   # 3x3 s2 valid
+            "Conv2d_2a_3x3": (1, 147, 147, 32),   # 3x3 s1 valid
+            "Conv2d_2b_3x3": (1, 147, 147, 64),   # 3x3 s1 pad 1
+            "Conv2d_3b_1x1": (1, 73, 73, 80),     # after maxpool 3/2
+            "Conv2d_4a_3x3": (1, 71, 71, 192),    # 3x3 s1 valid
+            "Mixed_5b": (1, 35, 35, 256),         # after maxpool 3/2; 64+64+96+32
+            "Mixed_5c": (1, 35, 35, 288),         # 64+64+96+64
+            "Mixed_5d": (1, 35, 35, 288),
+            "Mixed_6a": (1, 17, 17, 768),         # grid reduction; 384+96+288
+            "Mixed_6b": (1, 17, 17, 768),
+            "Mixed_6c": (1, 17, 17, 768),
+            "Mixed_6d": (1, 17, 17, 768),
+            "Mixed_6e": (1, 17, 17, 768),
+            "Mixed_7a": (1, 8, 8, 1280),          # grid reduction; 320+192+768
+            "Mixed_7b": (1, 8, 8, 2048),          # 320+768+768+192
+            "Mixed_7c": (1, 8, 8, 2048),
+        }
+        for name, want in golden.items():
+            got = tuple(inter[name]["__call__"][0].shape)
+            assert got == want, f"{name}: {got} != golden {want}"
+        assert tuple(out.shape) == (1, 2048)
+
     def test_converted_weights_roundtrip_io(self, tmp_path):
         from tinyedm_tpu.utils.inception import load_converted, save_converted
 

@@ -13,6 +13,26 @@ BatchNorms are folded into the convolutions at conversion time (inference
 only), so the flax graph is conv+bias+relu throughout — fewer ops and
 exactly the eval-mode math (eps=1e-3, torchvision default).
 
+Geometry is pinned by golden per-stage shapes in tests/test_fid_posthoc.py
+(299 -> 149 -> 147 -> 73 -> 71 -> 35x35x288 -> 17x17x768 -> 8x8x2048). In an
+environment WITH torchvision weights, cross-check numerics in one command::
+
+    python -c "
+    import numpy as np, torch, torchvision, jax
+    from tinyedm_tpu.utils import inception as I
+    tv = torchvision.models.inception_v3(weights='IMAGENET1K_V1', init_weights=False)
+    tv.transform_input = False; tv.fc = torch.nn.Identity(); tv.eval()
+    imgs = np.random.default_rng(0).integers(0, 256, (4, 299, 299, 3), dtype=np.uint8)
+    with torch.no_grad():
+        ref = tv(torch.from_numpy(imgs).permute(0, 3, 1, 2).float().div(255).sub(0.5).div(0.5)).numpy()
+    params = I.convert_torch_inception(tv.state_dict())
+    mine = np.asarray(I.InceptionV3Pool3().apply({'params': params}, I.preprocess_uint8(imgs)))
+    print(np.abs(mine - ref).max()); assert np.allclose(mine, ref, atol=1e-3)
+    "
+
+(preprocess_uint8 resizes to 299 first; feeding already-299 inputs makes the
+resize an identity, so the two pipelines see identical tensors.)
+
 ``proxy_feature_fn`` is the always-available fallback: a fixed-seed
 random-feature extractor (linear + rectified random projections of 32x32
 RGB). It makes the full 50k-sample FID protocol executable end to end in
