@@ -16,6 +16,9 @@ import pytest
 
 from tinyedm_tpu.models.layers import CosineAttention
 
+# jit-heavy integration module: excluded from the fast profile (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize(
     "hw,c,heads,dtype,tol",

@@ -46,6 +46,7 @@ def test_bf16():
     )
 
 
+@pytest.mark.slow
 def test_gradients_match_xla():
     key = jax.random.PRNGKey(2)
     q, k, v = (

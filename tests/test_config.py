@@ -129,6 +129,7 @@ def test_spec_validation():
         instantiate(bad)
 
 
+@pytest.mark.slow
 def test_imagenet512_stretch_config_shapes_and_param_count():
     """Pin the imagenet512 stretch config's abstract init (VERDICT r1 weak #7):
     EDM2 default topology on 64x64x4 latents = 272,949,794 params, denoised

@@ -299,6 +299,7 @@ class TestStochasticSolver:
         out = solver.solve(denoise_fn, x0, rng=jax.random.PRNGKey(1))
         np.testing.assert_allclose(np.asarray(out), c, atol=1e-3)
 
+    @pytest.mark.slow
     def test_churn_randomness_controlled_by_key(self):
         from tinyedm_tpu.diffusion.solver import StochasticSolver
 

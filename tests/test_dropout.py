@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tinyedm_tpu.ops.dropout import mp_dropout
+import pytest
 
 
 def test_keep_fraction_and_mean_preserving():
@@ -43,6 +44,7 @@ def test_dtype_preserved_and_grads_flow():
     np.testing.assert_allclose(nz, 1.0 / 0.75, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_block_dropout_changes_with_rng_and_off_in_eval():
     """Blocks use mp_dropout under the 'dropout' rng stream when training."""
     from tinyedm_tpu.models.blocks import EncoderBlock

@@ -20,6 +20,9 @@ from tinyedm_tpu.training.experiment import EDMSpec
 from tinyedm_tpu.training.trainer import Trainer
 from tinyedm_tpu.utils.logging import MetricLogger
 
+# jit-heavy integration module: excluded from the fast profile (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def tiny_spec(use_ema=True):
     return EDMSpec(

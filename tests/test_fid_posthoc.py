@@ -71,6 +71,7 @@ class TestFID:
 
 
 class TestPosthocEMAEndToEnd:
+    @pytest.mark.slow
     def test_reconstruct_cli(self, tmp_path):
         """Train briefly with two EMA profiles, reconstruct a third sigma_rel,
         and load the result for generation."""
@@ -106,6 +107,7 @@ class TestPosthocEMAEndToEnd:
 
 
 class TestPosthocMultiCheckpoint:
+    @pytest.mark.slow
     def test_combine_across_steps(self, tmp_path):
         """--steps with several checkpoints: snapshots from every (step,
         gamma) pair are combined."""
@@ -209,6 +211,7 @@ class TestEvalFidCLI:
 
 
 class TestInceptionPort:
+    @pytest.mark.slow
     def test_flax_inception_matches_converted_random_torch_weights(self):
         """Build a random torchvision-format state dict, convert it, and
         check the flax InceptionV3Pool3 runs and produces (B, 2048) features

@@ -55,6 +55,7 @@ def test_forward_matches_xla(n, heads, dtype):
 
 
 @pytest.mark.parametrize("n,dtype", [(64, jnp.float32), (128, jnp.float32)])
+@pytest.mark.slow
 def test_backward_exact_fp32(n, dtype):
     """In fp32 the hand-written VJP must match autodiff of the XLA path to
     numerical precision (same exact math)."""
@@ -67,6 +68,7 @@ def test_backward_exact_fp32(n, dtype):
     np.testing.assert_allclose(np.asarray(dout), np.asarray(dref), atol=2e-6, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_backward_bf16_close():
     """bf16 grads differ from XLA autodiff only by rounding (the kernel keeps
     fp32 accumulation but rounds matmul operands to bf16 like XLA does)."""
@@ -80,6 +82,7 @@ def test_backward_bf16_close():
     assert rel < 2e-2, rel
 
 
+@pytest.mark.slow
 def test_spmd_batch_partitioning():
     """Under a sharded jit the kernel must keep the batch sharding (no
     replication all-gather) and produce identical values."""
@@ -115,6 +118,7 @@ def test_pick_bb_divides_batch():
                 assert b % bb == 0
 
 
+@pytest.mark.slow
 def test_module_dispatch_forced_on(monkeypatch):
     """CosineAttention(fused='on') goes through the kernel (interpret mode on
     CPU) and matches fused='off' numerics."""
@@ -194,6 +198,7 @@ def test_pick_bb_block_charges_bwd_accumulators():
     assert block_kernel_fits(64, 256, 4)
 
 
+@pytest.mark.slow
 def test_block_dispatch_falls_back_when_kernel_cannot_fit():
     """CosineAttention(fused='block') at a width where the kernel can't fit
     VMEM must take the unfused path (same math) instead of building the

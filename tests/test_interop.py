@@ -14,6 +14,9 @@ from tinyedm_tpu.models.layers import Embedding
 from tinyedm_tpu.models.unet import Denoiser
 from tinyedm_tpu.utils import interop
 
+# jit-heavy integration module: excluded from the fast profile (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 REF = Path("/root/reference/src/tinyedm/networks.py")
 
 TOPOLOGY = dict(

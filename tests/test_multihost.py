@@ -50,6 +50,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_cpu():
     """Spin up 2 real processes under jax.distributed and run the shard_batch
     + psum-metric path (tests/_multihost_worker.py)."""

@@ -46,6 +46,7 @@ def test_shard_batch_places_on_data_axis(mesh8):
     assert shard_shapes == {(2, 8, 8, 1)}
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_replicates(mesh8):
     model = tiny_model()
     diffuser = Diffuser(-1.2, 1.2)
@@ -70,6 +71,7 @@ def test_sharded_train_step_runs_and_replicates(mesh8):
     assert max(jax.tree_util.tree_leaves(d)) < 1e-6
 
 
+@pytest.mark.slow
 def test_single_vs_multi_device_equivalence(mesh8):
     """The same batch through a 1-device mesh and the 8-device mesh must give
     the same loss and the same updated params (bitwise-identical RNG, XLA
@@ -139,6 +141,7 @@ def test_model_axis_composes_with_train_step():
     assert float(metrics["count"]) == 16
 
 
+@pytest.mark.slow
 def test_padded_validation_exact_on_nondivisible_val_set(tmp_path, mesh8):
     """A val set whose tail batch does not divide the mesh data axis must
     produce EXACTLY the single-device val_loss: pad rows carry weight 0 and

@@ -18,6 +18,9 @@ from tinyedm_tpu.utils.interop import (
     migrate_params_to_scanned,
 )
 
+# jit-heavy integration module: excluded from the fast profile (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = dict(
     in_channels=3,
     out_channels=3,

@@ -176,6 +176,7 @@ def test_eval_step_per_profile_metrics(setup):
     assert float(out_masked["sse"]) < float(out["sse"])
 
 
+@pytest.mark.slow
 def test_log_norms_per_layer():
     """wandb_watch.per_layer (reference log="all" fidelity): one grad_norm/
     and param_norm/ series per depth-2 param group; per-layer grad norms are
@@ -216,6 +217,7 @@ def test_conditional_and_uncertainty_train_step():
     assert np.isfinite(float(metrics["train_loss"]))
 
 
+@pytest.mark.slow
 def test_loss_decreases_on_fixed_batch():
     """Overfit a single tiny batch at fixed sigma: late loss < early loss."""
     model = tiny_model()
@@ -287,6 +289,7 @@ def test_eval_step_ema_index_selects_profile(setup):
     np.testing.assert_allclose(float(out0["sse"]), float(out_live["sse"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_grad_clip_norm():
     """Optional global-norm clipping (beyond the reference). Logged
     grad_norm is the PRE-clip global norm (so spike magnitude stays

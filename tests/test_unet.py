@@ -123,6 +123,7 @@ def test_denoiser_identity_at_init(tiny_denoiser):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x) * c_skip, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_denoiser_jit_and_grad(tiny_denoiser):
     model, variables = tiny_denoiser
 
@@ -139,6 +140,7 @@ def test_denoiser_jit_and_grad(tiny_denoiser):
     assert any(float(jnp.abs(l).max()) > 0 for l in flat)
 
 
+@pytest.mark.slow
 def test_denoiser_bf16_compute(tiny_denoiser):
     model, variables = tiny_denoiser
     model16 = model.replace(dtype=jnp.bfloat16) if hasattr(model, "replace") else None
@@ -197,6 +199,7 @@ def test_edm_model_forward():
     assert u.shape == (2,)
 
 
+@pytest.mark.slow
 def test_remat_identical_outputs_and_grads():
     """remat=True must change memory behavior only: outputs and gradients
     are identical to the non-remat model with the same params."""

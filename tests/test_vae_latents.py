@@ -15,6 +15,7 @@ def vae():
     return random_vae(jax.random.PRNGKey(0), image_size=32)
 
 
+@pytest.mark.slow
 def test_encode_decode_shapes(vae):
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
     z = vae.encode(x, jax.random.PRNGKey(2))
