@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -249,6 +250,15 @@ class Denoiser(nn.Module):
                     mod_fp32=self.mod_fp32,
                     name=f"encoder_blocks_{i}",
                 )(x, embedding, train)
+                if self.dtype != jnp.float32:
+                    # Encoder outputs are multi-consumer (skip list + next
+                    # block) and always materialize; the barrier pins ONE
+                    # shared bf16 buffer. Without it XLA hoists a consumer's
+                    # f32 upcast (downsample_2x's mean accumulator) into the
+                    # producer fusion, writing the full-res tensor twice —
+                    # bf16 + f32, +268 MB HBM at CIFAR's 32x32 site.
+                    # Bit-identical values either way.
+                    x = jax.lax.optimization_barrier(x)
                 skips.append(x)
             i += length
 
