@@ -35,6 +35,59 @@ def _normal_init(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype)
 
 
+def _conv3x3_ref(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+@jax.custom_vjp
+def _small_ci_conv3x3(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """3x3 SAME conv for tiny input channels (conv_in: Ci = in+1).
+
+    Forward: 9-tap im2col flattened to one GEMM — the conv emitter's forward
+    runs Ci<=8 at <10 TF/s (round-2 fusion table) while the flat GEMM is
+    HBM-floor bound. Backward: the conv emitter's bwd-filter form — the
+    im2col autodiff wgrad regenerates the 9-slice concat inside its fusion
+    (formatting-bound: 0.56 ms vs 0.35 for the conv form at CIFAR's conv_in;
+    experiments/bench_convin_wgrad.py). Same MACs, fp32 MXU accumulation,
+    bf16-rounded outputs in both forms.
+    """
+    b, hh, ww, ci = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.concatenate(
+        [xp[:, i : i + hh, j : j + ww, :] for i in range(3) for j in range(3)],
+        axis=-1,
+    )  # (B, H, W, 9*Ci), tap-major to match HWIO flattening
+    y = jax.lax.dot_general(
+        patches.reshape(-1, 9 * ci),
+        w.reshape(9 * ci, -1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=x.dtype,
+    )
+    return y.reshape(b, hh, ww, -1)
+
+
+def _small_ci_conv3x3_fwd(x, w):
+    return _small_ci_conv3x3(x, w), (x, w)
+
+
+def _small_ci_conv3x3_bwd(res, dy):
+    x, w = res
+    # both cotangents via the conv emitter's transpose forms; the unused one
+    # (conv_in's input is a leaf) is dead code XLA removes
+    _, vjp = jax.vjp(_conv3x3_ref, x, w)
+    return vjp(dy)
+
+
+_small_ci_conv3x3.defvjp(_small_ci_conv3x3_fwd, _small_ci_conv3x3_bwd)
+
+
 class WNLinear(nn.Module):
     """Weight-normalized, bias-free linear layer (reference Linear, networks.py:46-64).
 
@@ -88,28 +141,9 @@ class WNConv(nn.Module):
             )
             return y.reshape(x.shape[:-1] + (self.features,))
         if k == 3 and in_ch <= 8:
-            # tiny-input-channel 3x3 (conv_in: Ci = in+1): the conv emitter
-            # runs its wgrad at <10 TF/s on Ci=4 (round-2 fusion table); the
-            # 9x im2col expansion is cheap at these widths (B*H*W x 9*Ci bf16
-            # ~ 19 MB at CIFAR), and the flat GEMM takes the dot emitter
-            # fwd and bwd. Same MACs, same fp32 accumulation.
-            b, hh, ww, _ = x.shape
-            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            patches = jnp.concatenate(
-                [
-                    xp[:, i : i + hh, j : j + ww, :]
-                    for i in range(3)
-                    for j in range(3)
-                ],
-                axis=-1,
-            )  # (B, H, W, 9*Ci), tap-major to match HWIO flattening
-            y = jax.lax.dot_general(
-                patches.reshape(-1, 9 * in_ch),
-                w_eff.reshape(9 * in_ch, self.features).astype(self.dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=self.dtype,
-            )
-            return y.reshape(b, hh, ww, self.features)
+            # tiny-input-channel 3x3 (conv_in: Ci = in+1): im2col-GEMM
+            # forward + conv-emitter backward (see _small_ci_conv3x3)
+            return _small_ci_conv3x3(x, w_eff.astype(self.dtype))
         return jax.lax.conv_general_dilated(
             x,
             w_eff.astype(self.dtype),
