@@ -19,3 +19,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache for the CPU test backend: the suite is
+# compile-dominated (one jit-heavy file costs ~6 min cold on this box),
+# and re-runs hit the same traced programs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tinyedm_tpu_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -256,8 +256,12 @@ class Denoiser(nn.Module):
                     # shared bf16 buffer. Without it XLA hoists a consumer's
                     # f32 upcast (downsample_2x's mean accumulator) into the
                     # producer fusion, writing the full-res tensor twice —
-                    # bf16 + f32, +268 MB HBM at CIFAR's 32x32 site.
-                    # Bit-identical values either way.
+                    # bf16 + f32, +268 MB HBM at CIFAR's 32x32 site — and
+                    # clones epilogue chains into every consumer. Measured
+                    # (BENCH.md round 3): barrier on ALL encoder outputs
+                    # beats barriering only the pre-downsample ones on both
+                    # CIFAR (157.3 vs 159.4 ms) and ImageNet-64 (540.8 vs
+                    # 547.6 ms at batch 128). Bit-identical values.
                     x = jax.lax.optimization_barrier(x)
                 skips.append(x)
             i += length
