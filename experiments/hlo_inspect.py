@@ -23,7 +23,7 @@ tune_for_tpu()
 BATCH = 256
 
 
-def compile_step():
+def compile_step(config: str = "cifar10", batch: int | None = None):
     from tinyedm_tpu.config.registry import instantiate, load_config
     from tinyedm_tpu.parallel.mesh import (
         ShardingPlan,
@@ -33,25 +33,46 @@ def compile_step():
     )
     from tinyedm_tpu.training.train_step import init_train_state, make_train_step
 
-    cfg = load_config("experiments/conf/cifar10.yaml")
+    cfg = load_config(f"experiments/conf/{config}.yaml")
     spec = instantiate(cfg["model"])
     model = spec.build_model()
     opt_cfg = spec.build_optimizer_config()
     ema_cfg = spec.build_ema_config()
+
+    dm_cfg = cfg.get("datamodule", {})
+    tgt = str(dm_cfg.get("_target_", "")).lower()
+    default_size = 64 if ("latents" in tgt or "latpack" in tgt) else 32
+    size = int(dm_cfg.get("image_size", default_size))
+    mdl_cfg = cfg["model"].get("denoiser", cfg["model"])
+    ch = int(mdl_cfg.get("in_channels", 3))
+    bsz = batch or (BATCH if config == "cifar10" else int(dm_cfg.get("batch_size", BATCH)))
+    n_classes = cfg["model"].get("embedding", {}).get("num_classes")
+
     mesh = make_mesh()
     plan = ShardingPlan(mesh)
-    img = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
-    state = init_train_state(jax.random.PRNGKey(0), model, img, opt_cfg, ema_cfg)
+    img = jnp.zeros((bsz, size, size, ch), jnp.float32)
+    init_labels = jnp.zeros((bsz,), jnp.int32) if n_classes else None
+    state = init_train_state(
+        jax.random.PRNGKey(0), model, img, opt_cfg, ema_cfg, sample_labels=init_labels
+    )
     state = replicate_state(mesh, state)
     step = plan.jit_train_step(make_train_step(model, spec.diffuser, opt_cfg, ema_cfg))
-    batch = shard_batch(
-        mesh, (np.zeros((BATCH, 32, 32, 3), np.float32), np.zeros((BATCH,), np.int32))
+    feed = shard_batch(
+        mesh, (np.zeros((bsz, size, size, ch), np.float32), np.zeros((bsz,), np.int32))
     )
-    return step.lower(state, batch, jax.random.PRNGKey(1), jnp.asarray(250.0)).compile()
+    return step.lower(state, feed, jax.random.PRNGKey(1), jnp.asarray(250.0)).compile()
 
 
 def main() -> None:
-    compiled = compile_step()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="cifar10")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    sys.argv = [sys.argv[0]] + args.names  # downstream code reads sys.argv
+    compiled = compile_step(args.config, args.batch)
     txt = compiled.as_text()
     Path("/tmp/train_step_hlo.txt").write_text(txt)
     print(f"HLO dumped to /tmp/train_step_hlo.txt ({len(txt)/1e6:.1f} MB)")

@@ -28,7 +28,7 @@ tune_for_tpu()
 BATCH = 256
 
 
-def capture(tracedir: str, sampler: bool = False) -> None:
+def capture(tracedir: str, config: str = "cifar10", batch: int | None = None) -> None:
     from tinyedm_tpu.config.registry import instantiate, load_config
     from tinyedm_tpu.parallel.mesh import (
         ShardingPlan,
@@ -38,24 +38,39 @@ def capture(tracedir: str, sampler: bool = False) -> None:
     )
     from tinyedm_tpu.training.train_step import init_train_state, make_train_step
 
-    cfg = load_config("experiments/conf/cifar10.yaml")
+    cfg = load_config(f"experiments/conf/{config}.yaml")
     spec = instantiate(cfg["model"])
     model = spec.build_model()
     opt_cfg = spec.build_optimizer_config()
     ema_cfg = spec.build_ema_config()
+
+    dm_cfg = cfg.get("datamodule", {})
+    tgt = str(dm_cfg.get("_target_", "")).lower()
+    default_size = 64 if ("latents" in tgt or "latpack" in tgt) else 32
+    size = int(dm_cfg.get("image_size", default_size))
+    mdl_cfg = cfg["model"].get("denoiser", cfg["model"])
+    ch = int(mdl_cfg.get("in_channels", 3))
+    bsz = batch or (BATCH if config == "cifar10" else int(dm_cfg.get("batch_size", BATCH)))
+    n_classes = cfg["model"].get("embedding", {}).get("num_classes")
+
     mesh = make_mesh()
     plan = ShardingPlan(mesh)
-    img = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
-    state = init_train_state(jax.random.PRNGKey(0), model, img, opt_cfg, ema_cfg)
+    img = jnp.zeros((bsz, size, size, ch), jnp.float32)
+    init_labels = jnp.zeros((bsz,), jnp.int32) if n_classes else None
+    state = init_train_state(
+        jax.random.PRNGKey(0), model, img, opt_cfg, ema_cfg, sample_labels=init_labels
+    )
     state = replicate_state(mesh, state)
     step = plan.jit_train_step(make_train_step(model, spec.diffuser, opt_cfg, ema_cfg))
     rng = np.random.default_rng(0)
+    labels = (
+        rng.integers(0, n_classes, (bsz,)).astype(np.int32)
+        if n_classes
+        else np.zeros((bsz,), np.int32)
+    )
     batch = shard_batch(
         mesh,
-        (
-            rng.standard_normal((BATCH, 32, 32, 3), dtype=np.float32) * 0.5,
-            np.zeros((BATCH,), np.int32),
-        ),
+        (rng.standard_normal((bsz, size, size, ch), dtype=np.float32) * 0.5, labels),
     )
     key = jax.random.PRNGKey(1)
     sched = jnp.asarray(250.0)
@@ -109,12 +124,14 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--tracedir", default="/tmp/tinyedm_profile")
     ap.add_argument("--no-capture", action="store_true")
+    ap.add_argument("--config", default="cifar10")
+    ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
     if not args.no_capture:
         import shutil
 
         shutil.rmtree(args.tracedir, ignore_errors=True)
-        capture(args.tracedir)
+        capture(args.tracedir, args.config, args.batch)
     summarize(args.tracedir, args.top)
 
 
