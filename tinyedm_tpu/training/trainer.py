@@ -290,3 +290,10 @@ class Trainer:
         assert self.state is not None
         metrics = {"val_loss": val_loss} if val_loss is not None else None
         self.ckpt.save(self.global_step, self.state, config=self.config, metrics=metrics)
+        if getattr(self.logger, "_log_model", False):
+            # wandb log_model analog: wait for the async save to land, then
+            # upload the step directory as an artifact (no-op without wandb)
+            self.ckpt.wait()
+            self.logger.log_checkpoint(
+                self.ckpt.directory / str(self.global_step), self.global_step
+            )

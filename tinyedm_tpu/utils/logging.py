@@ -25,6 +25,12 @@ class MetricLogger:
         self.out_dir = Path(out_dir)
         self._t0 = time.time()
         self._wandb = None
+        # WandbLogger(log_model=True) analog (reference conf/cifar10.yaml:86):
+        # upload saved checkpoints as wandb artifacts. Popped from the kwargs
+        # either way (it is not a wandb.init argument); armed only when wandb
+        # itself is enabled.
+        log_model = bool(wandb_kwargs.pop("log_model", False)) if wandb_kwargs else False
+        self._log_model = use_wandb and log_model
         if not self.enabled:
             self._metrics_file = None
             return
@@ -61,6 +67,20 @@ class MetricLogger:
         Image.fromarray(arr.squeeze()).save(img_dir / f"{key}_{step:07d}.png")
         if self._wandb is not None:
             self._wandb.log({key: self._wandb.Image(arr)}, step=int(step))
+
+    def log_checkpoint(self, path: str | Path, step: int) -> None:
+        """Upload a saved checkpoint directory as a wandb artifact — the
+        WandbLogger(log_model=True) analog (reference conf/cifar10.yaml:87,
+        lightning uploads ModelCheckpoint files). No-op unless wandb is
+        active AND wandb_logger.log_model is set."""
+        if not self.enabled or self._wandb is None or not self._log_model:
+            return
+        try:
+            art = self._wandb.Artifact(f"model-{self._wandb.run.id}", type="model")
+            art.add_dir(str(path))
+            self._wandb.log_artifact(art, aliases=[f"step-{int(step)}"])
+        except Exception as e:  # artifact upload is best-effort
+            print(f"[logger] checkpoint artifact upload failed ({e})")
 
     def log_text(self, key: str, text: str) -> None:
         if self.enabled:
