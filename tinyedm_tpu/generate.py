@@ -5,10 +5,13 @@ Same flag surface as the reference (src/tinyedm/generate.py:50-90):
 --batch_size --num_steps. The whole 2*num_steps-1-forward Heun solve runs as
 one jitted lax.scan per batch on device; PNG writing overlaps on host.
 
-Improvement over the reference: --load_ema is unambiguous (the reference
+Improvements over the reference: --load_ema is unambiguous (the reference
 loads the checkpoint twice and the second load can clobber the EMA swap,
-SURVEY.md §2.1 quirk), and the denormalization stats come from flags instead
-of being hardcoded to CIFAR-10 (generate.py:31-34 "need to do better").
+SURVEY.md §2.1 quirk); the denormalization stats come from flags instead
+of being hardcoded to CIFAR-10 (generate.py:31-34 "need to do better"); and
+sampling is data-parallel over every visible chip (batch split on the mesh
+``data`` axis, weights replicated; multi-host processes write only their
+own rows) — the reference samples on one GPU.
 """
 
 from __future__ import annotations
@@ -22,6 +25,14 @@ import numpy as np
 
 from tinyedm_tpu.data.datamodules import RandomNoiseDataModule
 from tinyedm_tpu.diffusion.solver import DeterministicSolver
+from tinyedm_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    process_local_slice,
+    replicate_state,
+    replicated,
+    shard_batch,
+)
 from tinyedm_tpu.training.callbacks import PreditionWriter
 from tinyedm_tpu.training.checkpoint import load_edm_from_checkpoint
 from tinyedm_tpu.utils.tpu import tune_for_tpu
@@ -60,6 +71,18 @@ def generate(
     model = spec.build_model(inference_fast=True)  # Pallas attention on TPU
     if load_ema:
         print("EMA weights loaded.")
+
+    # data-parallel sampling over every visible chip: batch split on the
+    # mesh ``data`` axis, weights replicated. On one device this degenerates
+    # to the plain jit. (The reference samples on a single GPU; 50k-sample
+    # FID dumps are embarrassingly batch-parallel.)
+    mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    if batch_size % n_data:
+        batch_size = -(-batch_size // n_data) * n_data
+        print(f"[generate] batch_size rounded up to {batch_size} "
+              f"(multiple of the {n_data}-way data axis)")
+    variables = replicate_state(mesh, variables)
     stochastic = s_churn > 0
     if stochastic:
         from tinyedm_tpu.diffusion.solver import StochasticSolver
@@ -82,8 +105,10 @@ def generate(
     writer = PreditionWriter(output_dir, "batch", mean=mean, std=std)
     conditional = model.conditional
 
-    @jax.jit
-    def sample(x0, labels, churn_key):
+    data_shd = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def _sample(variables, x0, labels, churn_key):
         def denoise_fn(x, sigma, lab):
             return model.apply(variables, x, sigma, lab)
 
@@ -91,6 +116,12 @@ def generate(
         if stochastic:
             return solver.solve(denoise_fn, x0, lab, rng=churn_key)
         return solver.solve(denoise_fn, x0, lab)
+
+    sample = jax.jit(
+        _sample,
+        in_shardings=(rep, data_shd, data_shd, rep),
+        out_shardings=data_shd,
+    )
 
     t0 = time.time()
     done = 0
@@ -101,18 +132,33 @@ def generate(
     pool = ThreadPoolExecutor(max_workers=8)
     pending = []
     churn_rng = jax.random.PRNGKey(seed ^ 0xC4A2)
+    pc, pi = jax.process_count(), jax.process_index()
     for batch_idx, (noise, labels, indices) in enumerate(datamodule.predict_batches()):
         n = len(indices)
         if n < batch_size:  # pad the tail batch: one compiled shape only
             pad = batch_size - n
             noise = np.concatenate([noise, noise[:1].repeat(pad, 0)])
             labels = np.concatenate([labels, labels[:1].repeat(pad, 0)])
+        noise_d, labels_d = shard_batch(mesh, (noise, labels))
         xT = sample(
-            jnp.asarray(noise),
-            jnp.asarray(labels),
-            jax.random.fold_in(churn_rng, batch_idx),
-        )[:n]
-        pending.append(pool.submit(writer.write_batch, np.asarray(xT), indices))
+            variables, noise_d, labels_d, jax.random.fold_in(churn_rng, batch_idx)
+        )
+        if pc == 1:
+            arr = np.asarray(xT)[:n]
+            idx = indices
+        else:
+            # multi-host: every process solves its batch shard and writes
+            # ONLY its own rows (process-contiguous by shard_batch)
+            shards = sorted(
+                xT.addressable_shards, key=lambda s: s.index[0].start or 0
+            )
+            arr = np.concatenate([np.asarray(s.data) for s in shards])
+            pos = process_local_slice(np.arange(batch_size), pi, pc)
+            keep = pos < n
+            arr = arr[keep]
+            idx = [indices[int(k)] for k in pos[keep]]
+        if len(idx):
+            pending.append(pool.submit(writer.write_batch, arr, idx))
         done += n
         if done % (batch_size * 10) < batch_size:
             rate = done / (time.time() - t0)
