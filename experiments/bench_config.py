@@ -98,11 +98,16 @@ def main() -> None:
     assert np.isfinite(float(metrics["train_loss"]))
     dt = (time.perf_counter() - t0) / ITERS
 
+    from tinyedm_tpu.utils.profiling import device_memory_stats
+
+    mem = next(iter(device_memory_stats().values()), None) or {}
+    peak = mem.get("peak_bytes_in_use")
     print(
         f"{args.config}: {n_params/1e6:.1f}M params, batch {batch}, "
         f"{size}x{size}x{ch} -> step {dt*1e3:.1f} ms, "
         f"{batch/dt:.1f} samples/s/chip"
         + (f", {flops/dt/1e12:.1f} TF/s" if flops else "")
+        + (f", peak HBM {peak/2**30:.2f} GiB" if peak else "")
     )
 
 
