@@ -219,3 +219,21 @@ def test_latents_generate_callback_without_vae(tmp_path):
     trainer.fit()
     images = list((tmp_path / "run" / "images").glob("Generated_*.png"))
     assert images, "LatentsGenerateCallback wrote no preview"
+
+
+def test_generate_local_rows_multihost_split():
+    """The multi-host write split: processes own disjoint, order-preserving
+    row sets; pad rows past n_valid are dropped; union covers 0..n-1."""
+    from tinyedm_tpu.generate import local_rows
+
+    batch, n_valid, pc = 8, 5, 4  # padded tail batch split over 4 processes
+    indices = [100 + i for i in range(n_valid)]
+    got = {}
+    for pi in range(pc):
+        pos, idx = local_rows(batch, n_valid, indices, pi, pc)
+        assert list(pos) == sorted(pos)
+        for p, g in zip(pos, idx):
+            assert g == 100 + p
+            assert p not in got
+            got[p] = g
+    assert sorted(got.values()) == indices  # exact cover, no dupes, no pads

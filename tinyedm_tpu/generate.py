@@ -42,6 +42,15 @@ CIFAR10_MEAN = (0.49139968, 0.48215841, 0.44653091)
 CIFAR10_STD = (0.24703223, 0.24348513, 0.26158784)
 
 
+def local_rows(batch_size: int, n_valid: int, indices, pi: int, pc: int):
+    """Multi-host write split: the (positions, global indices) this process
+    owns out of a padded global batch. Positions are the process-contiguous
+    rows shard_batch assigned; pad rows (>= n_valid) are dropped."""
+    pos = process_local_slice(np.arange(batch_size), pi, pc)
+    keep = pos < n_valid
+    return pos[keep], [indices[int(k)] for k in pos[keep]]
+
+
 def generate(
     ckpt_path: str,
     load_ema: bool,
@@ -153,10 +162,8 @@ def generate(
                 xT.addressable_shards, key=lambda s: s.index[0].start or 0
             )
             arr = np.concatenate([np.asarray(s.data) for s in shards])
-            pos = process_local_slice(np.arange(batch_size), pi, pc)
-            keep = pos < n
-            arr = arr[keep]
-            idx = [indices[int(k)] for k in pos[keep]]
+            pos, idx = local_rows(batch_size, n, indices, pi, pc)
+            arr = arr[pos - pi * (batch_size // pc)]
         if len(idx):
             pending.append(pool.submit(writer.write_batch, arr, idx))
         done += n
