@@ -325,3 +325,53 @@ def test_grad_clip_norm():
     scale = float(out[0.5]["clip_scale"])
     # post-clip norm = scale * raw, bounded by the threshold
     np.testing.assert_allclose(scale * raw, 0.5, rtol=1e-4)
+
+
+@pytest.mark.slow  # compiles two train-step variants (the no-barrier HLO never caches)
+def test_fusion_barriers_are_value_identical():
+    """The round-3 perf barriers (fp32-island bf16 output, encoder skip
+    outputs; models/blocks.py + models/unet.py) claim bit-identical values —
+    optimization_barrier only pins fusion boundaries. Pin that: one train
+    step on a bf16 model with the barriers active vs monkeypatched to
+    identity must produce bitwise-equal params, EMA, and loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_e2e import tiny_spec
+    from tinyedm_tpu.training.train_step import init_train_state, make_train_step
+
+    spec = tiny_spec()
+    model = spec.build_model()
+    opt_cfg = spec.build_optimizer_config()
+    ema_cfg = spec.build_ema_config()
+    img = jnp.zeros((8, 8, 8, 1), jnp.float32)
+    batch = (
+        jnp.asarray(np.random.default_rng(0).standard_normal((8, 8, 8, 1), np.float32)),
+        jnp.zeros((8,), jnp.int32),
+    )
+    key = jax.random.PRNGKey(1)
+    sched = jnp.asarray(2.0)
+
+    def run_one():
+        state = init_train_state(
+            jax.random.PRNGKey(0), model, img, opt_cfg, ema_cfg,
+            sample_labels=jnp.zeros((8,), jnp.int32),
+        )
+        step = jax.jit(make_train_step(model, spec.diffuser, opt_cfg, ema_cfg))
+        new_state, metrics = step(state, batch, key, sched)
+        return jax.device_get((new_state.params, new_state.ema, metrics["train_loss"]))
+
+    with_barrier = run_one()
+    real_barrier = jax.lax.optimization_barrier
+    jax.lax.optimization_barrier = lambda x: x
+    try:
+        without_barrier = run_one()
+    finally:
+        jax.lax.optimization_barrier = real_barrier
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        with_barrier,
+        without_barrier,
+    )
