@@ -19,12 +19,18 @@ tests/test_reference_parity.py and tests/test_interop.py):
   * ScaleLong convs: layer1/layer2 <-> WNConv_0/WNConv_1
   * UncertaintyNet: linear1/linear2 <-> WNLinear_0/WNLinear_1
 
-CLI: convert a torch checkpoint (a raw networks state_dict or a lightning
-checkpoint with ``state_dict``/``optimizer_states`` entries) into an orbax
-checkpoint this framework's generate.py consumes:
+CLI — both directions:
 
-    python -m tinyedm_tpu.utils.interop --torch_ckpt last.ckpt \
+    # reference -> here: torch .ckpt (lightning or raw state_dict) -> orbax
+    python -m tinyedm_tpu.utils.interop import --torch_ckpt last.ckpt \
         --config experiments/conf/cifar10.yaml --out_dir runs/imported
+
+    # here -> reference: orbax -> lightning-style .ckpt that the reference's
+    # EDM.load_from_checkpoint consumes (incl. load_ema=True and Adam moments)
+    python -m tinyedm_tpu.utils.interop export --ckpt_dir runs/cifar10/checkpoints \
+        --out exported.ckpt --ema_index 0
+
+(the bare legacy form without the ``import`` subcommand still works)
 """
 
 from __future__ import annotations
@@ -39,6 +45,14 @@ def _to_np(x) -> np.ndarray:
     if hasattr(x, "detach"):  # torch tensor without importing torch
         x = x.detach().cpu().numpy()
     return np.asarray(x, np.float32)
+
+
+def _to_torch(x):
+    """np/jax array -> torch tensor (owning copy: jax arrays surface as
+    non-writable numpy views, which torch.from_numpy warns about)."""
+    import torch
+
+    return torch.from_numpy(np.array(x, np.float32, copy=True))
 
 
 # -------------------------------------------------------------- primitives
@@ -372,9 +386,235 @@ def import_torch_checkpoint(
     print(f"imported {torch_ckpt} (step {step}) -> {out_dir}")
 
 
+def reference_hyper_parameters(spec, ema_index: int = 0) -> dict:
+    """EDMSpec -> the reference EDM's self-describing ``hyper_parameters``
+    tree — what ``EDM.save_config`` writes into every checkpoint
+    (edm.py:152-157 via utils.py:5-27): hydra ``_target_`` dicts using the
+    reference's own ``tinyedm.*`` names, restricted to reference constructor
+    fields (edm.py:100-118, networks.py:144-161, networks.py:491-506).
+    TPU-only knobs (mod_fp32, remat, scan_blocks, use_pallas_attention,
+    grad_clip_norm, log_norms, accum_steps, ema_lengths, val_ema_index) have
+    no reference analog and are dropped; with multiple tracked EMA profiles,
+    ``ema_length`` becomes the EXPORTED profile's sigma_rel so a reference
+    resume continues that profile's power-function decay curve."""
+    emb, den = spec.embedding, spec.denoiser
+    sigma_rels = tuple(spec.ema_lengths or ())
+    if not sigma_rels and spec.ema_length is not None:
+        sigma_rels = (spec.ema_length,)
+    ema_length = spec.ema_length
+    if sigma_rels:
+        if not 0 <= ema_index < len(sigma_rels):
+            raise ValueError(
+                f"ema_index={ema_index} out of range for {len(sigma_rels)} "
+                "tracked EMA profile(s)"
+            )
+        ema_length = sigma_rels[ema_index]
+    return {
+        "_target_": "tinyedm.EDM",
+        "diffuser": {
+            "_target_": "tinyedm.Diffuser",
+            "P_mean": spec.diffuser.P_mean,
+            "P_std": spec.diffuser.P_std,
+        },
+        "embedding": {
+            "_target_": "tinyedm.Embedding",
+            "fourier_dim": emb.fourier_dim,
+            "embedding_dim": emb.embedding_dim,
+            "num_classes": emb.num_classes,
+            "add_factor": emb.add_factor,
+        },
+        "denoiser": {
+            "_target_": "tinyedm.Denoiser",
+            "in_channels": den.in_channels,
+            "out_channels": den.out_channels,
+            "encoder_block_types": list(den.encoder_block_types),
+            "decoder_block_types": list(den.decoder_block_types),
+            "encoder_out_channels": list(den.encoder_out_channels),
+            "decoder_out_channels": list(den.decoder_out_channels),
+            "skip_connections": list(den.skip_connections),
+            "dropout_rate": den.dropout_rate,
+            "sigma_data": den.sigma_data,
+            "encoder_add_factor": den.encoder_add_factor,
+            "decoder_add_factor": den.decoder_add_factor,
+            "embedding_dim": den.embedding_dim,
+            "num_heads": den.num_heads,
+        },
+        "use_ema": spec.use_ema,
+        "use_uncertainty": spec.use_uncertainty,
+        "steady_steps": spec.steady_steps,
+        "rampup_steps": spec.rampup_steps,
+        "scheduler_interval": spec.scheduler_interval,
+        "sigma_data": spec.sigma_data,
+        "lr": spec.lr,
+        "betas": list(spec.betas),
+        "ema_length": ema_length,
+        "validate_original_weights": spec.validate_original_weights,
+        "every_n_steps": spec.every_n_steps,
+        "cpu_offload": False,
+    }
+
+
+def _adam_moments(opt_state) -> tuple[Any, Any]:
+    """Extract the (mu, nu) moment trees from an optax ``scale_by_adam``
+    state — live (``ScaleByAdamState(count, mu, nu)``) or as orbax restores
+    it generically (a namedtuple flattened to a ``{"0","1","2"}`` mapping or
+    a plain 3-list, in field order)."""
+    if hasattr(opt_state, "mu"):
+        return opt_state.mu, opt_state.nu
+    if isinstance(opt_state, Mapping):
+        if "mu" in opt_state and "nu" in opt_state:
+            return opt_state["mu"], opt_state["nu"]
+        if "1" in opt_state and "2" in opt_state:
+            return opt_state["1"], opt_state["2"]
+    if isinstance(opt_state, (list, tuple)) and len(opt_state) == 3:
+        return opt_state[1], opt_state[2]
+    raise ValueError(
+        f"cannot locate Adam moments in opt_state of type {type(opt_state)!r}"
+    )
+
+
+def adam_state_to_torch(spec, opt_state, constants, order, step: int) -> dict:
+    """optax ``scale_by_adam`` moments -> a ``torch.optim.Adam.state_dict()``.
+
+    Both frameworks store RAW first/second moments and bias-correct at use
+    time with the same formula, so moments transfer verbatim (after the same
+    layout conversion as the weights they shadow). ``order`` is the flat
+    parameter order from :func:`reference_parameter_order`."""
+    import torch
+
+    mu, nu = _adam_moments(opt_state)
+    mu_sd = edm_params_to_torch_state_dict(
+        spec, {"params": mu, "constants": constants}
+    )
+    nu_sd = edm_params_to_torch_state_dict(
+        spec, {"params": nu, "constants": constants}
+    )
+    state = {
+        i: {
+            "step": torch.tensor(float(step)),
+            "exp_avg": _to_torch(mu_sd[k]),
+            "exp_avg_sq": _to_torch(nu_sd[k]),
+        }
+        for i, k in enumerate(order)
+    }
+    group = {
+        "lr": spec.lr,
+        "betas": tuple(spec.betas),
+        "eps": 1e-8,
+        "weight_decay": 0,
+        "amsgrad": False,
+        "maximize": False,
+        "foreach": None,
+        "capturable": False,
+        "differentiable": False,
+        "fused": None,
+        "params": list(range(len(order))),
+    }
+    return {"state": state, "param_groups": [group]}
+
+
+def export_torch_checkpoint(
+    ckpt_dir: str,
+    out_path: str,
+    step: int | None = None,
+    ema_index: int = 0,
+) -> None:
+    """Inverse of :func:`import_torch_checkpoint`: write a lightning-style
+    ``.ckpt`` the REFERENCE consumes — ``EDM.load_from_checkpoint`` re-builds
+    the architecture from ``hyper_parameters`` (edm.py:168-169), loads
+    ``state_dict``, and ``load_ema=True`` finds the flat EMA tuple at
+    ``optimizer_states[0]["ema"]`` (edm.py:197-203, ema.py:326-336). Adam
+    moments are exported too (same raw-moment semantics both sides), so a
+    run can even resume training under the reference with its optimizer
+    state intact. With multiple tracked EMA profiles, ``--ema_index`` picks
+    which one rides in the (single-profile) reference slot."""
+    import torch
+
+    from tinyedm_tpu.config.registry import instantiate
+    from tinyedm_tpu.training.checkpoint import load_checkpoint
+    from tinyedm_tpu.training.ema import sigma_rel_to_gamma
+
+    state, config = load_checkpoint(ckpt_dir, step)
+    if config is None:
+        raise ValueError(
+            f"checkpoint at {ckpt_dir} has no embedded config; cannot build "
+            "reference hyper_parameters"
+        )
+    spec = instantiate(config["model"] if "model" in config else config)
+    gstep = int(state.step)
+
+    sd_np = edm_params_to_torch_state_dict(
+        spec, {"params": state.params, "constants": state.constants}
+    )
+    sd = {k: _to_torch(v) for k, v in sd_np.items()}
+    order = reference_parameter_order(sd)
+
+    ckpt: dict[str, Any] = {
+        "state_dict": sd,
+        "global_step": gstep,
+        "epoch": 0,
+        "pytorch-lightning_version": "2.0.0",
+        "hyper_parameters": reference_hyper_parameters(spec, ema_index),
+        "lr_schedulers": [],
+        "optimizer_states": [
+            {
+                "opt": adam_state_to_torch(
+                    spec, state.opt_state, state.constants, order, gstep
+                )
+            }
+        ],
+    }
+    if state.ema:
+        if not 0 <= ema_index < len(state.ema):
+            raise ValueError(
+                f"ema_index={ema_index} out of range: checkpoint tracks "
+                f"{len(state.ema)} EMA profile(s)"
+            )
+        ema_sd = edm_params_to_torch_state_dict(
+            spec, {"params": state.ema[ema_index], "constants": state.constants}
+        )
+        sigma_rels = tuple(
+            spec.ema_lengths
+            or ((spec.ema_length,) if spec.ema_length is not None else ())
+        )
+        ckpt["optimizer_states"][0].update(
+            ema=tuple(_to_torch(ema_sd[k]) for k in order),
+            current_step=gstep,
+            gamma=float(sigma_rel_to_gamma(sigma_rels[ema_index]))
+            if sigma_rels
+            else 0.0,
+            every_n_steps=spec.every_n_steps,
+        )
+    torch.save(ckpt, out_path)
+    print(f"exported {ckpt_dir} (step {gstep}) -> {out_path}")
+
+
 def main(argv=None) -> None:
     import argparse
+    import sys
 
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "export":
+        p = argparse.ArgumentParser(
+            description="Export an orbax checkpoint as a reference-loadable "
+            "lightning .ckpt"
+        )
+        p.add_argument("--ckpt_dir", required=True, help="orbax checkpoint dir")
+        p.add_argument("--out", required=True, help="output .ckpt path")
+        p.add_argument("--step", type=int, default=None)
+        p.add_argument(
+            "--ema_index",
+            type=int,
+            default=0,
+            help="which tracked EMA profile rides in the reference's "
+            "single-profile optimizer_states[0]['ema'] slot",
+        )
+        args = p.parse_args(argv[1:])
+        export_torch_checkpoint(args.ckpt_dir, args.out, args.step, args.ema_index)
+        return
+
+    if argv and argv[0] == "import":
+        argv = argv[1:]
     p = argparse.ArgumentParser(description="Import a reference torch checkpoint")
     p.add_argument("--torch_ckpt", required=True)
     p.add_argument("--config", required=True, help="matching experiment YAML")
