@@ -18,69 +18,23 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from tinyedm_tpu.utils.tpu import tune_for_tpu
 
 tune_for_tpu()
 
-BATCH = 256
-
 
 def capture(tracedir: str, config: str = "cifar10", batch: int | None = None) -> None:
-    from tinyedm_tpu.config.registry import instantiate, load_config
-    from tinyedm_tpu.parallel.mesh import (
-        ShardingPlan,
-        make_mesh,
-        replicate_state,
-        shard_batch,
-    )
-    from tinyedm_tpu.training.train_step import init_train_state, make_train_step
+    from _common import build_compiled_step
 
-    cfg = load_config(f"experiments/conf/{config}.yaml")
-    spec = instantiate(cfg["model"])
-    model = spec.build_model()
-    opt_cfg = spec.build_optimizer_config()
-    ema_cfg = spec.build_ema_config()
-
-    dm_cfg = cfg.get("datamodule", {})
-    tgt = str(dm_cfg.get("_target_", "")).lower()
-    default_size = 64 if ("latents" in tgt or "latpack" in tgt) else 32
-    size = int(dm_cfg.get("image_size", default_size))
-    mdl_cfg = cfg["model"].get("denoiser", cfg["model"])
-    ch = int(mdl_cfg.get("in_channels", 3))
-    bsz = batch or (BATCH if config == "cifar10" else int(dm_cfg.get("batch_size", BATCH)))
-    n_classes = cfg["model"].get("embedding", {}).get("num_classes")
-
-    mesh = make_mesh()
-    plan = ShardingPlan(mesh)
-    img = jnp.zeros((bsz, size, size, ch), jnp.float32)
-    init_labels = jnp.zeros((bsz,), jnp.int32) if n_classes else None
-    state = init_train_state(
-        jax.random.PRNGKey(0), model, img, opt_cfg, ema_cfg, sample_labels=init_labels
-    )
-    state = replicate_state(mesh, state)
-    step = plan.jit_train_step(make_train_step(model, spec.diffuser, opt_cfg, ema_cfg))
-    rng = np.random.default_rng(0)
-    labels = (
-        rng.integers(0, n_classes, (bsz,)).astype(np.int32)
-        if n_classes
-        else np.zeros((bsz,), np.int32)
-    )
-    batch = shard_batch(
-        mesh,
-        (rng.standard_normal((bsz, size, size, ch), dtype=np.float32) * 0.5, labels),
-    )
-    key = jax.random.PRNGKey(1)
-    sched = jnp.asarray(250.0)
-    compiled = step.lower(state, batch, key, sched).compile()
+    s = build_compiled_step(config, batch)
+    state = s.state
     for _ in range(3):
-        state, metrics = compiled(state, batch, key, sched)
+        state, metrics = s.compiled(state, s.feed, s.key, s.sched)
     float(metrics["train_loss"])
     jax.profiler.start_trace(tracedir)
     for _ in range(5):
-        state, metrics = compiled(state, batch, key, sched)
+        state, metrics = s.compiled(state, s.feed, s.key, s.sched)
     float(metrics["train_loss"])
     jax.profiler.stop_trace()
 

@@ -386,3 +386,19 @@ def test_export_torch_checkpoint_roundtrip(tmp_path, edm_variables):
         np.asarray(jax.tree_util.tree_leaves(state2.ema[0])[0]),
         np.asarray(jax.tree_util.tree_leaves(ema_tree)[0]),
     )
+
+    # no-EMA checkpoints export the BARE Adam dict at optimizer_states[0]
+    # (the reference's plain torch.optim.Adam reads it directly; only EMA
+    # runs nest it under 'opt' inside an EMAOptimizer state, ema.py:326-336)
+    state_noema = dataclasses.replace(state, ema=())
+    save_checkpoint(
+        tmp_path / "orbax_noema", state_noema, config={"model": deinstantiate(spec0)}
+    )
+    out2 = tmp_path / "exported_noema.ckpt"
+    interop.export_torch_checkpoint(str(tmp_path / "orbax_noema"), str(out2))
+    ckpt2 = torch.load(out2, map_location="cpu", weights_only=False)
+    opt_plain = ckpt2["optimizer_states"][0]
+    assert "opt" not in opt_plain and "ema" not in opt_plain
+    assert set(opt_plain) == {"state", "param_groups"}
+    tadam2 = torch.optim.Adam(tparams, lr=spec0.lr, betas=tuple(spec0.betas))
+    tadam2.load_state_dict(opt_plain)

@@ -35,8 +35,10 @@ class TestMetricLogger:
         # conf/cifar10.yaml:86) and must NOT reach wandb.init
         kw = {"project": "x", "log_model": True}
         logger = MetricLogger(tmp_path, use_wandb=True, wandb_kwargs=kw)
-        assert logger._log_model is True
-        assert "log_model" not in kw or True  # popped before init
+        # wandb.init fails here (no wandb) -> the flag must DISARM, or every
+        # checkpoint save would block on ckpt.wait() for a no-op upload
+        assert logger._log_model is False
+        assert "log_model" not in kw  # popped before reaching wandb.init
         # without a live wandb run, uploading is a silent no-op
         logger.log_checkpoint(tmp_path, step=7)
         logger.close()

@@ -84,6 +84,12 @@ class _EncoderScanCell(nn.Module):
             mod_fp32=self.mod_fp32,
             name="block",
         )(x, emb, self.train)
+        if self.dtype != jnp.float32:
+            # same encoder-output barrier as the unrolled path (see the
+            # encoder loop in Denoiser.__call__): the block output is
+            # multi-consumer (stacked skip + carry) and must materialize as
+            # ONE shared bf16 buffer inside the scanned body
+            y = jax.lax.optimization_barrier(y)
         return (y, emb), y
 
 

@@ -537,20 +537,30 @@ def _block_sample_bytes(n: int, channels: int, heads: int, bwd: bool, pair: bool
     return io + scr + core
 
 
-def _pick_bb_block(b: int, n: int, channels: int, heads: int, bwd: bool, pair: bool) -> int:
-    c = channels
-    fixed = 2 * c * 4 * c  # bf16 weights: wq (c,3c) + wo (c,c)
+def _block_fixed_bytes(c: int, bwd: bool) -> int:
+    """VMEM bytes resident across the WHOLE grid: the bf16 weights wq (c,3c)
+    + wo (c,c); in backward also the fp32 dW accumulator blocks dwq (c,3c) +
+    dwo (c,c) = 16c^2 bytes (~9.4 MB at C=768). Shared by the bb picker and
+    the fits-check so the two can never disagree."""
+    fixed = 2 * c * 4 * c
     if bwd:
-        # fp32 dW accumulator blocks stay resident across the whole grid:
-        # dwq (c,3c) + dwo (c,c) = 16c^2 bytes (~9.4 MB at C=768)
         fixed += 4 * (3 * c * c + c * c)
+    return fixed
+
+
+def _block_pair_scratch_bytes(bb: int, n: int, hd: int, pair: bool) -> int:
+    """Pair-layout kbd+vbd scratch buffers (per grid step, bb samples)."""
+    return 2 * bb * 2 * n * 2 * hd * 2 if pair else 0
+
+
+def _pick_bb_block(b: int, n: int, channels: int, heads: int, bwd: bool, pair: bool) -> int:
     hd = channels // heads
+    fixed = _block_fixed_bytes(channels, bwd)
     per = max(_block_sample_bytes(n, channels, heads, bwd, pair), 1)
     for bb in (8, 4, 2, 1):
         if b % bb:
             continue
-        scratch = 2 * bb * 2 * n * 2 * hd * 2 if pair else 0  # kbd+vbd
-        if bb * per + scratch + fixed <= _BUDGET:
+        if bb * per + _block_pair_scratch_bytes(bb, n, hd, pair) + fixed <= _BUDGET:
             return bb
     return 1
 
@@ -1013,13 +1023,11 @@ def block_kernel_fits(n: int, channels: int, heads: int) -> bool:
     (16c^2 bytes) plus the weights alone can exceed the budget — callers
     must fall back to the unfused path rather than OOM on-chip."""
     pair = _use_pair(heads, n)
+    hd = channels // heads
     for bwd in (False, True):
-        fixed = 2 * channels * 4 * channels
-        if bwd:
-            fixed += 4 * (3 * channels * channels + channels * channels)
         per = _block_sample_bytes(n, channels, heads, bwd, pair)
-        scratch = 2 * 1 * 2 * n * 2 * (channels // heads) * 2 if pair else 0
-        if per + scratch + fixed > _BUDGET:
+        scratch = _block_pair_scratch_bytes(1, n, hd, pair)
+        if per + scratch + _block_fixed_bytes(channels, bwd) > _BUDGET:
             return False
     return True
 

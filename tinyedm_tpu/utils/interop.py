@@ -549,22 +549,10 @@ def export_torch_checkpoint(
     sd = {k: _to_torch(v) for k, v in sd_np.items()}
     order = reference_parameter_order(sd)
 
-    ckpt: dict[str, Any] = {
-        "state_dict": sd,
-        "global_step": gstep,
-        "epoch": 0,
-        "pytorch-lightning_version": "2.0.0",
-        "hyper_parameters": reference_hyper_parameters(spec, ema_index),
-        "lr_schedulers": [],
-        "optimizer_states": [
-            {
-                "opt": adam_state_to_torch(
-                    spec, state.opt_state, state.constants, order, gstep
-                )
-            }
-        ],
-    }
+    adam_sd = adam_state_to_torch(spec, state.opt_state, state.constants, order, gstep)
     if state.ema:
+        # EMA runs wrap the optimizer in EMAOptimizer, whose state_dict nests
+        # the inner Adam under "opt" next to the flat EMA tuple (ema.py:326-336)
         if not 0 <= ema_index < len(state.ema):
             raise ValueError(
                 f"ema_index={ema_index} out of range: checkpoint tracks "
@@ -577,14 +565,37 @@ def export_torch_checkpoint(
             spec.ema_lengths
             or ((spec.ema_length,) if spec.ema_length is not None else ())
         )
-        ckpt["optimizer_states"][0].update(
-            ema=tuple(_to_torch(ema_sd[k]) for k in order),
-            current_step=gstep,
-            gamma=float(sigma_rel_to_gamma(sigma_rels[ema_index]))
+        opt0: dict[str, Any] = {
+            "opt": adam_sd,
+            "ema": tuple(_to_torch(ema_sd[k]) for k in order),
+            "current_step": gstep,
+            "gamma": float(sigma_rel_to_gamma(sigma_rels[ema_index]))
             if sigma_rels
             else 0.0,
-            every_n_steps=spec.every_n_steps,
-        )
+            "every_n_steps": spec.every_n_steps,
+        }
+    else:
+        # no EMA -> the reference's optimizer is a bare torch.optim.Adam;
+        # its load_state_dict expects the adam dict at the top level
+        opt0 = adam_sd
+    hp = reference_hyper_parameters(spec, ema_index)
+    if not state.ema and hp["use_ema"]:
+        # spec says use_ema but the checkpoint carries no EMA trees (e.g.
+        # imported without --load_ema): exporting use_ema=True would make
+        # the reference wrap its optimizer in EMAOptimizer and fail to read
+        # the bare Adam dict on resume
+        hp["use_ema"] = False
+        hp["ema_length"] = None
+        print("[export] checkpoint has no EMA trees; exporting use_ema=False")
+    ckpt: dict[str, Any] = {
+        "state_dict": sd,
+        "global_step": gstep,
+        "epoch": 0,
+        "pytorch-lightning_version": "2.0.0",
+        "hyper_parameters": hp,
+        "lr_schedulers": [],
+        "optimizer_states": [opt0],
+    }
     torch.save(ckpt, out_path)
     print(f"exported {ckpt_dir} (step {gstep}) -> {out_path}")
 

@@ -30,7 +30,7 @@ class MetricLogger:
         # either way (it is not a wandb.init argument); armed only when wandb
         # itself is enabled.
         log_model = bool(wandb_kwargs.pop("log_model", False)) if wandb_kwargs else False
-        self._log_model = use_wandb and log_model
+        self._log_model = False  # armed below only once wandb.init succeeds
         if not self.enabled:
             self._metrics_file = None
             return
@@ -42,6 +42,11 @@ class MetricLogger:
 
                 self._wandb = wandb
                 wandb.init(dir=str(self.out_dir), **(wandb_kwargs or {}))
+                # only now: a live run exists for artifact uploads. If init
+                # failed, staying disarmed keeps checkpoint saves async —
+                # the trainer's pre-upload ckpt.wait() would otherwise block
+                # every save for a guaranteed no-op upload.
+                self._log_model = log_model
             except Exception as e:  # no wandb / no network: local files only
                 print(f"[logger] wandb unavailable ({e}); logging to {self.out_dir}")
                 self._wandb = None
