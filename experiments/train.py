@@ -103,6 +103,10 @@ def main(argv=None) -> None:
         log_every_n_steps=tcfg.get("log_every_n_steps", 50),
         seed=seed,
         config={"model": deinstantiate(spec), "seed": seed},
+        # ZeRO-1: shard Adam moments + EMA trees over the mesh data axis
+        # (memory knob for the 272.9M latent configs on real meshes;
+        # equivalent up to float reduction order — see docs/CONFIG.md)
+        zero1=bool(tcfg.get("zero1", False)),
     )
     print(f"devices: {jax.devices()}")
     trainer.fit(resume=args.resume)

@@ -50,7 +50,7 @@ def tiny_spec(use_ema=True):
     )
 
 
-def make_trainer(tmp_path, spec, max_epochs=2, callbacks=()):
+def make_trainer(tmp_path, spec, max_epochs=2, callbacks=(), zero1=False):
     dm = SyntheticDataModule(
         batch_size=16, image_size=8, num_channels=1, num_samples=64
     )
@@ -65,6 +65,7 @@ def make_trainer(tmp_path, spec, max_epochs=2, callbacks=()):
         log_every_n_steps=2,
         seed=0,
         config={"model": deinstantiate(spec), "seed": 0},
+        zero1=zero1,
     )
 
 
@@ -92,6 +93,35 @@ def test_fit_checkpoint_resume_generate(tmp_path):
 
     # the resumed state carried EMA trees
     assert len(trainer2.state.ema) == 1
+
+
+def test_zero1_fit_checkpoint_resume_matches_replicated(tmp_path):
+    """ZeRO-1 through the whole trainer loop: fit -> checkpoint -> resume
+    produces the same params as the fully-replicated run to float
+    reduction-order tolerance (reduce-scatter + all-gather vs all-reduce
+    rounding — see tests/test_parallel.py), and the orbax round-trip
+    re-places the restored state with the sharded layout."""
+    params = {}
+    for name, zero1 in (("rep", False), ("zero1", True)):
+        trainer = make_trainer(
+            tmp_path / name, tiny_spec(), max_epochs=1, zero1=zero1
+        )
+        trainer.fit()
+        trainer.ckpt.wait()
+        # resume continues under the same placement
+        trainer2 = make_trainer(
+            tmp_path / name, tiny_spec(), max_epochs=2, zero1=zero1
+        )
+        trainer2.fit(resume=True)
+        assert trainer2.global_step == 2 * 4
+        params[name] = trainer2.state.params
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params["rep"]),
+        jax.tree_util.tree_leaves(params["zero1"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
 
 
 def test_generate_cli_roundtrip(tmp_path):

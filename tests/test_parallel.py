@@ -13,8 +13,10 @@ from tinyedm_tpu.parallel.mesh import (
     ShardingPlan,
     batch_sharding,
     make_mesh,
+    place_state,
     replicate_state,
     shard_batch,
+    zero1_spec,
 )
 from tinyedm_tpu.training.ema import EMAConfig
 from tinyedm_tpu.training.train_step import (
@@ -139,6 +141,91 @@ def test_model_axis_composes_with_train_step():
     state, metrics = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(0.0))
     assert np.isfinite(float(metrics["train_loss"]))
     assert float(metrics["count"]) == 16
+
+
+def test_zero1_spec_picks_largest_divisible_axis():
+    """ZeRO-1 leaf specs: largest data-divisible axis sharded, ties go to
+    the LAST such axis (output channels for HWIO kernels), scalars and
+    non-divisible leaves stay replicated."""
+    assert zero1_spec((), 8) == P()
+    assert zero1_spec((4,), 8) == P()  # smaller than the axis
+    assert zero1_spec((16,), 8) == P("data")
+    assert zero1_spec((32, 16), 8) == P("data")  # largest wins
+    assert zero1_spec((12, 16), 8) == P(None, "data")  # 12 % 8 != 0
+    # HWIO conv kernel, I == O: tie resolves to the output-channel axis
+    assert zero1_spec((3, 3, 16, 16), 8) == P(None, None, None, "data")
+    assert zero1_spec((16,), 1) == P()  # single-device mesh: no-op
+
+
+@pytest.mark.slow
+def test_zero1_matches_replicated_training(mesh8):
+    """ZeRO-1 (sharded Adam moments + EMA trees) is a memory layout, not a
+    semantics change: three steps with zero1 on and off must agree to float
+    reduction-order tolerance (XLA lowers the sharded-moment gradient sum as
+    reduce-scatter + all-gather, whose accumulation order differs from the
+    replicated all-reduce by ~1e-5 relative — same class of difference as
+    DDP vs single device), while the moment leaves are genuinely distributed
+    over the data axis."""
+    model = tiny_model()
+    diffuser = Diffuser(-1.2, 1.2)
+    cfg = OptimizerConfig(lr=1e-3, rampup_steps=1, steady_steps=4)
+    ema_cfg = EMAConfig(sigma_rels=(0.13,))
+    img = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 8, 1))
+    labels = np.zeros((16,), np.int32)
+
+    out = {}
+    for name, zero1 in (("rep", False), ("zero1", True)):
+        plan = ShardingPlan(mesh8, zero1=zero1)
+        state = place_state(
+            mesh8,
+            init_train_state(jax.random.PRNGKey(1), model, img, cfg, ema_cfg),
+            zero1=zero1,
+        )
+        step = plan.jit_train_step(
+            make_train_step(model, diffuser, cfg, ema_cfg), state=state
+        )
+        batch = shard_batch(mesh8, (np.asarray(img), labels))
+        metrics = None
+        for i in range(3):
+            state, metrics = step(
+                state, batch, jax.random.PRNGKey(2 + i), jnp.asarray(float(i))
+            )
+        out[name] = (float(metrics["train_loss"]), state)
+
+    np.testing.assert_allclose(out["rep"][0], out["zero1"][0], rtol=1e-5)
+    # Adam amplifies the reduce-scatter rounding early (the update magnitude
+    # is ~lr regardless of gradient scale while nu is still tiny), so params
+    # agree to ~lr-scale noise per step, not to fp32 eps
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out["rep"][1].params),
+        jax.tree_util.tree_leaves(out["zero1"][1].params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out["rep"][1].ema),
+        jax.tree_util.tree_leaves(out["zero1"][1].ema),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+    z = out["zero1"][1]
+    # the big Adam-moment and EMA leaves are genuinely distributed
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(z.opt_state)
+    ), "no opt_state leaf actually sharded under zero1"
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(z.ema)
+    ), "no EMA leaf actually sharded under zero1"
+    # params stay replicated (the train step consumes them everywhere)
+    assert all(
+        leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(z.params)
+    )
 
 
 @pytest.mark.slow

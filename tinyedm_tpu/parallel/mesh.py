@@ -91,37 +91,99 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(place, batch)
 
 
+def zero1_spec(shape: tuple, data_size: int) -> P:
+    """ZeRO-1 PartitionSpec for one state leaf: split the largest axis that
+    divides evenly by the data-axis size; leaves with no such axis (scalars,
+    tiny gains) stay replicated. Ties prefer the LAST such axis — for conv
+    kernels (HWIO) and stacked EMA copies that is the output-channel axis,
+    which keeps the per-output weight-renorm reduction shard-local."""
+    if data_size <= 1:
+        return P()
+    best = None
+    for i, d in enumerate(shape):
+        if d % data_size == 0 and d >= data_size:
+            if best is None or d >= shape[best]:
+                best = i
+    if best is None:
+        return P()
+    return P(*([None] * best + [DATA_AXIS]))
+
+
+def state_shardings(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
+    """Per-leaf NamedShardings for a TrainState (or its jax.eval_shape
+    abstraction): everything replicated; with ``zero1``, the Adam moments and
+    every EMA tree shard their largest data-divisible axis over ``data``
+    (ZeRO-1 / optimizer-state sharding, SURVEY.md §2.3's FSDP note). Params
+    stay replicated — XLA all-gathers the sharded Adam *updates* once per
+    step (same bytes as the gradient all-reduce) and the EMA update reads the
+    replicated params by local slice, so the only steady-state cost is one
+    extra all-gather while per-chip memory drops by ~(1-1/N) of the moment +
+    EMA bytes (ImageNet-512: mu+nu fp32 + 2 EMA trees = 16 B/param x 272.9M
+    ~= 4.4 GB -> ~0.5 GB/chip on 8 chips)."""
+    rep = replicated(mesh)
+    shardings = jax.tree_util.tree_map(lambda _: rep, state)
+    if not zero1:
+        return shardings
+    d = mesh.shape[DATA_AXIS]
+
+    def shard_leaf(x):
+        return NamedSharding(mesh, zero1_spec(getattr(x, "shape", ()), d))
+
+    return shardings.replace(
+        opt_state=jax.tree_util.tree_map(shard_leaf, state.opt_state),
+        ema=jax.tree_util.tree_map(shard_leaf, state.ema),
+    )
+
+
+def place_state(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
+    """Place a host/abstract-placed train state onto the mesh: replicated, or
+    with ZeRO-1 sharded optimizer/EMA state when ``zero1``."""
+    return jax.device_put(state, state_shardings(mesh, state, zero1))
+
+
 def replicate_state(mesh: Mesh, state: Any) -> Any:
     """Fully replicate a train-state pytree over the mesh (DP for a 35.6M-param
-    model; FSDP-style sharding of opt/EMA state along ``data`` is a
-    PartitionSpec change here if memory ever demands it)."""
-    return jax.device_put(state, replicated(mesh))
+    model; see ``place_state(zero1=True)`` for the sharded-optimizer form)."""
+    return place_state(mesh, state)
 
 
 @dataclasses.dataclass(frozen=True)
 class ShardingPlan:
-    """Shardings for the train step: state replicated, batch data-split,
-    scalars replicated. ``jit_train_step`` applies them + donates the state."""
+    """Shardings for the train step: batch data-split, scalars replicated,
+    state replicated — or, with ``zero1``, optimizer/EMA state sharded over
+    ``data`` (pass the placed state to ``jit_train_step`` so the per-leaf
+    sharding tree can be derived). ``jit_train_step`` applies them + donates
+    the state."""
 
     mesh: Mesh
+    zero1: bool = False
 
-    def jit_train_step(self, train_step):
+    def _state_shardings(self, state):
+        if not self.zero1:
+            return replicated(self.mesh)  # pytree prefix: whole state
+        if state is None:
+            raise ValueError("zero1 ShardingPlan needs the state to derive shardings")
+        return state_shardings(self.mesh, state, zero1=True)
+
+    def jit_train_step(self, train_step, state=None):
         rep = replicated(self.mesh)
+        st = self._state_shardings(state)
         # the batch sharding is a pytree PREFIX: every batch leaf (images,
         # labels, optional mask) splits its leading dim over ``data``
         data = batch_sharding(self.mesh)
         return jax.jit(
             train_step,
-            in_shardings=(rep, data, rep, rep),
-            out_shardings=(rep, rep),
+            in_shardings=(st, data, rep, rep),
+            out_shardings=(st, rep),
             donate_argnums=(0,),
         )
 
-    def jit_eval_step(self, eval_step):
+    def jit_eval_step(self, eval_step, state=None):
         rep = replicated(self.mesh)
+        st = self._state_shardings(state)
         data = batch_sharding(self.mesh)
         return jax.jit(
             eval_step,
-            in_shardings=(rep, data, rep),
+            in_shardings=(st, data, rep),
             out_shardings=rep,
         )

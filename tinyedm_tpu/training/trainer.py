@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tinyedm_tpu.parallel.mesh import ShardingPlan, make_mesh, replicate_state, shard_batch
+from tinyedm_tpu.parallel.mesh import ShardingPlan, make_mesh, place_state, shard_batch
 from tinyedm_tpu.training.callbacks import Callback
 from tinyedm_tpu.training.checkpoint import CheckpointManager
 from tinyedm_tpu.training.experiment import EDMSpec
@@ -58,6 +58,7 @@ class Trainer:
         seed: int = 42,
         mesh=None,
         config: Optional[dict] = None,
+        zero1: bool = False,
     ):
         self.spec = spec
         self.model = spec.build_model()
@@ -75,7 +76,12 @@ class Trainer:
         self.seed = seed
         self.config = config  # self-describing checkpoint payload
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.plan = ShardingPlan(self.mesh)
+        # zero1: shard Adam moments + EMA trees over the mesh data axis
+        # (ZeRO-1) — a memory knob for the big latent configs on real meshes;
+        # equivalent training up to float reduction order
+        # (tests/test_parallel.py)
+        self.zero1 = bool(zero1)
+        self.plan = ShardingPlan(self.mesh, zero1=self.zero1)
         self.ckpt = CheckpointManager(
             self.out_dir / "checkpoints",
             max_to_keep=ckpt_top_k,
@@ -84,23 +90,25 @@ class Trainer:
         )
         self.ckpt_every_n_epochs = ckpt_every_n_epochs
 
-        self._train_step = self.plan.jit_train_step(
-            make_train_step(self.model, self.diffuser, self.opt_cfg, self.ema_cfg)
+        self._train_step_fn = make_train_step(
+            self.model, self.diffuser, self.opt_cfg, self.ema_cfg
         )
         self._ema_sigma_rels = tuple(self.ema_cfg.sigma_rels) if self.use_ema else ()
-        self._eval_step = self.plan.jit_eval_step(
-            make_eval_step(
-                self.model,
-                self.diffuser,
-                use_ema=self.use_ema and not spec.validate_original_weights,
-                ema_index=spec.val_ema_index,
-                # per-profile val series whenever more than one EMA profile is
-                # tracked (one extra forward per profile, val cadence only)
-                n_profiles=(
-                    len(self._ema_sigma_rels) if len(self._ema_sigma_rels) > 1 else 0
-                ),
-            )
+        self._eval_step_fn = make_eval_step(
+            self.model,
+            self.diffuser,
+            use_ema=self.use_ema and not spec.validate_original_weights,
+            ema_index=spec.val_ema_index,
+            # per-profile val series whenever more than one EMA profile is
+            # tracked (one extra forward per profile, val cadence only)
+            n_profiles=(
+                len(self._ema_sigma_rels) if len(self._ema_sigma_rels) > 1 else 0
+            ),
         )
+        # jitted lazily (_jit_steps): the zero1 per-leaf sharding tree is
+        # derived from the placed state, which doesn't exist yet
+        self._train_step = None
+        self._eval_step = None
         self._solve_cache: dict = {}
 
         self.state: Optional[TrainState] = None
@@ -136,13 +144,24 @@ class Trainer:
             self.ema_cfg,
             sample_labels=jnp.asarray(labels) if self.model.conditional else None,
         )
-        return replicate_state(self.mesh, state)
+        return place_state(self.mesh, state, zero1=self.zero1)
 
     def restore(self, step: Optional[int] = None) -> None:
         abstract = jax.eval_shape(self._init_state)
         state, _ = self.ckpt.restore(step, abstract_state=abstract)
-        self.state = replicate_state(self.mesh, state)
+        self.state = place_state(self.mesh, state, zero1=self.zero1)
         self.global_step = int(state.step)
+
+    def _jit_steps(self) -> None:
+        """Jit the train/eval steps once the state exists (the zero1 sharding
+        tree is derived from the placed state's leaves)."""
+        if self._train_step is None:
+            self._train_step = self.plan.jit_train_step(
+                self._train_step_fn, state=self.state
+            )
+            self._eval_step = self.plan.jit_eval_step(
+                self._eval_step_fn, state=self.state
+            )
 
     # -------------------------------------------------------------------- fit
     def fit(self, resume: bool = False) -> None:
@@ -157,6 +176,7 @@ class Trainer:
             )
         if self.state is None:
             self.state = self._init_state()
+        self._jit_steps()
 
         base_rng = jax.random.PRNGKey(self.seed)
         self._install_signal_handlers()
@@ -220,6 +240,7 @@ class Trainer:
     # ------------------------------------------------------------- validation
     def validate(self) -> Optional[float]:
         assert self.state is not None
+        self._jit_steps()
         sse, count = 0.0, 0.0
         profile_sse: dict[int, float] = {}
         data_size = self.mesh.shape.get("data", 1)
