@@ -93,6 +93,7 @@ def cmd_score(args) -> None:
             num_steps=args.num_steps,
             mean=tuple(args.mean),
             std=tuple(args.std),
+            guidance_scale=args.guidance_scale,
         )
     feature_fn, kind = _feature_fn(args.features)
     mu1, s1 = compute_stats(png_dir_batches(sample_dir, args.batch_size), feature_fn)
@@ -127,6 +128,8 @@ def main(argv=None) -> None:
     pc.add_argument("--sample_dir", default=None)
     pc.add_argument("--skip_generate", action="store_true", help="score an existing --sample_dir")
     pc.add_argument("--features", default=None)
+    pc.add_argument("--guidance_scale", type=float, default=None,
+                    help="classifier-free guidance scale (conditional models)")
     pc.set_defaults(fn=cmd_score)
 
     args = p.parse_args(argv)

@@ -156,6 +156,25 @@ def test_generate_cli_roundtrip(tmp_path):
     img = Image.open(pngs[0])
     assert img.size == (8, 8)
 
+    # classifier-free guidance through the same CLI path (stacked 2B forward
+    # inside the scanned solver; conditional checkpoint required)
+    cfg_dir = tmp_path / "samples_cfg"
+    generate(
+        ckpt_path=str(tmp_path / "run" / "checkpoints"),
+        load_ema=True,
+        output_dir=str(cfg_dir),
+        num_samples=4,
+        image_size=8,
+        num_classes=10,
+        batch_size=4,
+        num_steps=3,
+        num_channels=1,
+        mean=(0.5,),
+        std=(0.25,),
+        guidance_scale=2.0,
+    )
+    assert len(sorted(cfg_dir.glob("*.png"))) == 4
+
 
 def test_validation_and_best_checkpoint(tmp_path):
     spec = tiny_spec(use_ema=False)

@@ -71,6 +71,7 @@ def generate(
     s_noise: float = 1.0,
     s_min: float = 0.0,
     s_max: float = float("inf"),
+    guidance_scale: float | None = None,
 ) -> None:
     tune_for_tpu()
     spec, model, variables, _ = load_edm_from_checkpoint(
@@ -116,14 +117,25 @@ def generate(
     data_shd = batch_sharding(mesh)
     rep = replicated(mesh)
 
+    guided = guidance_scale is not None
+    if guided and not conditional:
+        raise ValueError("--guidance_scale needs a conditional model")
+
     def _sample(variables, x0, labels, churn_key):
         def denoise_fn(x, sigma, lab):
             return model.apply(variables, x, sigma, lab)
 
+        fn = denoise_fn
+        if guided:
+            # classifier-free guidance: one stacked (2B) forward per
+            # half-step, cond + null-label branches combined on-device
+            from tinyedm_tpu.diffusion.guidance import cfg_denoise_fn
+
+            fn = cfg_denoise_fn(denoise_fn, guidance_scale)
         lab = labels if conditional else None
         if stochastic:
-            return solver.solve(denoise_fn, x0, lab, rng=churn_key)
-        return solver.solve(denoise_fn, x0, lab)
+            return solver.solve(fn, x0, lab, rng=churn_key)
+        return solver.solve(fn, x0, lab)
 
     sample = jax.jit(
         _sample,
@@ -197,6 +209,12 @@ def main(argv=None) -> None:
     parser.add_argument("--S_noise", type=float, default=1.0)
     parser.add_argument("--S_min", type=float, default=0.0)
     parser.add_argument("--S_max", type=float, default=float("inf"))
+    parser.add_argument(
+        "--guidance_scale", type=float, default=None,
+        help="classifier-free guidance scale (1 = conditional model; >1 "
+             "amplifies the class direction; train with label_dropout > 0 "
+             "for a meaningful unconditional branch)",
+    )
     args = parser.parse_args(argv)
     generate(
         args.ckpt_path,
@@ -219,6 +237,7 @@ def main(argv=None) -> None:
         args.S_noise,
         args.S_min,
         args.S_max,
+        args.guidance_scale,
     )
 
 

@@ -54,6 +54,9 @@ class EDMSpec:
     log_norms_per_layer: bool = False
     # Optional global-norm gradient clipping (None = off, reference parity)
     grad_clip_norm: Optional[float] = None
+    # CFG training (beyond the reference): probability of replacing a class
+    # label with the null label per sample (diffusion/guidance.py). 0 = off.
+    label_dropout: float = 0.0
     # Which tracked EMA profile validation/checkpoint-selection evaluates
     # (generalizes the reference's single-profile swap, ema.py:83-106).
     val_ema_index: int = 0
@@ -68,6 +71,10 @@ class EDMSpec:
                     f"val_ema_index={self.val_ema_index} out of range for "
                     f"{n_profiles} tracked EMA profile(s)"
                 )
+        if not 0.0 <= self.label_dropout < 1.0:
+            raise ValueError(f"label_dropout must be in [0, 1), got {self.label_dropout}")
+        if self.label_dropout > 0.0 and not self.conditional:
+            raise ValueError("label_dropout needs a conditional model (num_classes set)")
         if self.sigma_data is not None and self.sigma_data != self.denoiser.sigma_data:
             # keep one source of truth, like the reference's
             # `sigma_data or denoiser.sigma_data` (edm.py:147)
@@ -109,6 +116,7 @@ class EDMSpec:
             log_norms=self.log_norms,
             log_norms_per_layer=self.log_norms_per_layer,
             grad_clip_norm=self.grad_clip_norm,
+            label_dropout=self.label_dropout,
         )
 
     def build_ema_config(self) -> Optional[EMAConfig]:

@@ -51,6 +51,12 @@ class OptimizerConfig:
     # spikes observed when training at full lr without the recipe's rampup
     # (BENCH.md round-2 soak). None = off (reference parity).
     grad_clip_norm: Optional[float] = None
+    # CFG training (beyond the reference): per-sample probability of
+    # replacing the class label with the null label (-1 -> zero one-hot
+    # through the embedding — EDM2's unconditional form). 0 = off, graph
+    # byte-identical to reference parity. Enables classifier-free guidance
+    # at sampling (diffusion/guidance.py, generate --guidance_scale).
+    label_dropout: float = 0.0
 
 
 def _param_groups(tree):
@@ -140,8 +146,15 @@ def make_train_step(
     every_n = ema_cfg.every_n_steps if ema_cfg is not None else 1
     conditional = model.conditional
 
+    label_dropout = float(opt_cfg.label_dropout) if conditional else 0.0
+
     def loss_fn(params, constants, images, labels, rng):
         k_diff, k_drop = jax.random.split(rng)
+        if label_dropout > 0.0 and labels is not None:
+            from tinyedm_tpu.diffusion.guidance import drop_labels
+
+            k_drop, k_lab = jax.random.split(k_drop)
+            labels = drop_labels(k_lab, labels, label_dropout)
         noisy, sigma = diffuser(k_diff, images)
         denoised, uncertainty = model.apply(
             {"params": params, "constants": constants},
