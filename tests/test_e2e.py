@@ -175,6 +175,33 @@ def test_generate_cli_roundtrip(tmp_path):
     )
     assert len(sorted(cfg_dir.glob("*.png"))) == 4
 
+    # autoguidance with the checkpoint as its OWN guide at scale 1 equals
+    # the unguided run up to float addition rounding (D_g + (D_m - D_g)
+    # is not bitwise D_m), i.e. within one uint8 quantization level
+    auto_dir = tmp_path / "samples_auto"
+    generate(
+        ckpt_path=str(tmp_path / "run" / "checkpoints"),
+        load_ema=True,
+        output_dir=str(auto_dir),
+        num_samples=6,
+        image_size=8,
+        num_classes=10,
+        batch_size=4,
+        num_steps=3,
+        num_channels=1,
+        mean=(0.5,),
+        std=(0.25,),
+        guidance_scale=1.0,
+        guide_ckpt_path=str(tmp_path / "run" / "checkpoints"),
+    )
+    auto_pngs = sorted(auto_dir.glob("*.png"))
+    assert len(auto_pngs) == 6
+    for a, b in zip(auto_pngs, pngs):
+        diff = np.abs(
+            np.asarray(Image.open(a), np.int16) - np.asarray(Image.open(b), np.int16)
+        )
+        assert diff.max() <= 1, f"{a} vs {b}: max pixel diff {diff.max()}"
+
 
 def test_validation_and_best_checkpoint(tmp_path):
     spec = tiny_spec(use_ema=False)

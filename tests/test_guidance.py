@@ -8,7 +8,12 @@ import numpy as np
 import pytest
 
 from tinyedm_tpu.diffusion.diffuser import Diffuser
-from tinyedm_tpu.diffusion.guidance import NULL_LABEL, cfg_denoise_fn, drop_labels
+from tinyedm_tpu.diffusion.guidance import (
+    NULL_LABEL,
+    autoguidance_denoise_fn,
+    cfg_denoise_fn,
+    drop_labels,
+)
 from tinyedm_tpu.models.layers import Embedding
 from tinyedm_tpu.training.ema import EMAConfig
 from tinyedm_tpu.training.train_step import (
@@ -111,6 +116,27 @@ def test_cfg_on_real_model_matches_two_forwards():
     want = d_uncond + scale * (d_cond - d_uncond)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_autoguidance_linearity_and_scale_one_identity():
+    def main_fn(x, sigma, labels):
+        return x * 2.0
+
+    def guide_fn(x, sigma, labels):
+        return x * 0.5 + 1.0
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 1))
+    sigma = jnp.ones((4,), jnp.float32)
+    d_main, d_guide = main_fn(x, sigma, None), guide_fn(x, sigma, None)
+    for s in (0.0, 1.0, 2.5):
+        got = autoguidance_denoise_fn(main_fn, guide_fn, s)(x, sigma, None)
+        want = d_guide + s * (d_main - d_guide)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    # scale 1 is exactly the main model
+    np.testing.assert_array_equal(
+        np.asarray(autoguidance_denoise_fn(main_fn, guide_fn, 1.0)(x, sigma, None)),
+        np.asarray(d_main),
     )
 
 

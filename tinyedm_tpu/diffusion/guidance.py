@@ -56,6 +56,29 @@ def cfg_denoise_fn(denoise_fn, guidance_scale: float):
     return guided
 
 
+def autoguidance_denoise_fn(main_fn, guide_fn, guidance_scale: float):
+    """Autoguidance (Karras et al. 2024, "Guiding a Diffusion Model with a
+    Bad Version of Itself"): guide a model with a smaller / less-trained
+    version of itself instead of its own unconditional branch —
+
+        D_guided = D_guide + scale * (D_main - D_guide)
+
+    Works for conditional AND unconditional models (both branches see the
+    same labels). Two forwards per half-step — the models carry different
+    weights (and possibly different architectures), so they cannot share a
+    stacked batch the way CFG's cond/uncond branches do. Scale 1 is exactly
+    the main model.
+    """
+    scale = float(guidance_scale)
+
+    def guided(x: jnp.ndarray, sigma: jnp.ndarray, labels: Optional[jnp.ndarray]):
+        d_main = main_fn(x, sigma, labels)
+        d_guide = guide_fn(x, sigma, labels)
+        return d_guide + scale * (d_main - d_guide)
+
+    return guided
+
+
 def drop_labels(rng, labels: jnp.ndarray, p: float) -> jnp.ndarray:
     """Per-sample label dropout for CFG training: with probability ``p``
     replace a label by ``NULL_LABEL`` (zero one-hot through the embedding).

@@ -72,6 +72,9 @@ def generate(
     s_min: float = 0.0,
     s_max: float = float("inf"),
     guidance_scale: float | None = None,
+    guide_ckpt_path: str | None = None,
+    guide_ckpt_step: int | None = None,
+    guide_ema_index: int = 0,
 ) -> None:
     tune_for_tpu()
     spec, model, variables, _ = load_edm_from_checkpoint(
@@ -80,6 +83,15 @@ def generate(
     model = spec.build_model(inference_fast=True)  # Pallas attention on TPU
     if load_ema:
         print("EMA weights loaded.")
+    guide_model = guide_vars = None
+    if guide_ckpt_path is not None:
+        # autoguidance: a second (weaker) model supplies the guide branch
+        guide_spec, _, guide_vars, _ = load_edm_from_checkpoint(
+            guide_ckpt_path, step=guide_ckpt_step, load_ema=load_ema,
+            ema_index=guide_ema_index,
+        )
+        guide_model = guide_spec.build_model(inference_fast=True)
+        print(f"autoguidance model loaded from {guide_ckpt_path}")
 
     # data-parallel sampling over every visible chip: batch split on the
     # mesh ``data`` axis, weights replicated. On one device this degenerates
@@ -118,15 +130,32 @@ def generate(
     rep = replicated(mesh)
 
     guided = guidance_scale is not None
-    if guided and not conditional:
-        raise ValueError("--guidance_scale needs a conditional model")
+    auto_guided = guided and guide_model is not None
+    if guided and not auto_guided and not conditional:
+        raise ValueError(
+            "--guidance_scale needs a conditional model "
+            "(or --guide_ckpt_path for autoguidance)"
+        )
+    if guide_model is not None and not guided:
+        raise ValueError("--guide_ckpt_path needs --guidance_scale")
+    if auto_guided:
+        guide_vars = replicate_state(mesh, guide_vars)
 
-    def _sample(variables, x0, labels, churn_key):
+    def _sample(variables, gvars, x0, labels, churn_key):
         def denoise_fn(x, sigma, lab):
             return model.apply(variables, x, sigma, lab)
 
         fn = denoise_fn
-        if guided:
+        if auto_guided:
+            # autoguidance: D_guide + s * (D_main - D_guide), two forwards
+            from tinyedm_tpu.diffusion.guidance import autoguidance_denoise_fn
+
+            fn = autoguidance_denoise_fn(
+                denoise_fn,
+                lambda x, s, l: guide_model.apply(gvars, x, s, l),
+                guidance_scale,
+            )
+        elif guided:
             # classifier-free guidance: one stacked (2B) forward per
             # half-step, cond + null-label branches combined on-device
             from tinyedm_tpu.diffusion.guidance import cfg_denoise_fn
@@ -137,9 +166,11 @@ def generate(
             return solver.solve(fn, x0, lab, rng=churn_key)
         return solver.solve(fn, x0, lab)
 
+    # gvars is None (an empty pytree — sharding prefix vacuous) unless
+    # autoguidance loaded a second model
     sample = jax.jit(
         _sample,
-        in_shardings=(rep, data_shd, data_shd, rep),
+        in_shardings=(rep, rep, data_shd, data_shd, rep),
         out_shardings=data_shd,
     )
 
@@ -161,7 +192,8 @@ def generate(
             labels = np.concatenate([labels, labels[:1].repeat(pad, 0)])
         noise_d, labels_d = shard_batch(mesh, (noise, labels))
         xT = sample(
-            variables, noise_d, labels_d, jax.random.fold_in(churn_rng, batch_idx)
+            variables, guide_vars, noise_d, labels_d,
+            jax.random.fold_in(churn_rng, batch_idx),
         )
         if pc == 1:
             arr = np.asarray(xT)[:n]
@@ -211,10 +243,18 @@ def main(argv=None) -> None:
     parser.add_argument("--S_max", type=float, default=float("inf"))
     parser.add_argument(
         "--guidance_scale", type=float, default=None,
-        help="classifier-free guidance scale (1 = conditional model; >1 "
-             "amplifies the class direction; train with label_dropout > 0 "
-             "for a meaningful unconditional branch)",
+        help="guidance scale: with --guide_ckpt_path it weights main vs "
+             "guide model (autoguidance); alone it is classifier-free "
+             "guidance, cond vs null-label (train with label_dropout > 0 "
+             "for a meaningful unconditional branch). 1 = main model",
     )
+    parser.add_argument(
+        "--guide_ckpt_path", type=str, default=None,
+        help="autoguidance: checkpoint of a weaker (smaller/less-trained) "
+             "model to guide with (Karras et al. 2024)",
+    )
+    parser.add_argument("--guide_ckpt_step", type=int, default=None)
+    parser.add_argument("--guide_ema_index", type=int, default=0)
     args = parser.parse_args(argv)
     generate(
         args.ckpt_path,
@@ -238,6 +278,9 @@ def main(argv=None) -> None:
         args.S_min,
         args.S_max,
         args.guidance_scale,
+        args.guide_ckpt_path,
+        args.guide_ckpt_step,
+        args.guide_ema_index,
     )
 
 
