@@ -94,6 +94,11 @@ def cmd_score(args) -> None:
             mean=tuple(args.mean),
             std=tuple(args.std),
             guidance_scale=args.guidance_scale,
+            guide_ckpt_path=args.guide_ckpt_path,
+            guide_ckpt_step=args.guide_ckpt_step,
+            guide_ema_index=args.guide_ema_index,
+            guidance_sigma_min=args.guidance_sigma_min,
+            guidance_sigma_max=args.guidance_sigma_max,
         )
     feature_fn, kind = _feature_fn(args.features)
     mu1, s1 = compute_stats(png_dir_batches(sample_dir, args.batch_size), feature_fn)
@@ -130,6 +135,13 @@ def main(argv=None) -> None:
     pc.add_argument("--features", default=None)
     pc.add_argument("--guidance_scale", type=float, default=None,
                     help="classifier-free guidance scale (conditional models)")
+    pc.add_argument("--guide_ckpt_path", default=None,
+                    help="autoguidance: weaker-model checkpoint for the guide branch")
+    pc.add_argument("--guide_ckpt_step", type=int, default=None)
+    pc.add_argument("--guide_ema_index", type=int, default=0)
+    pc.add_argument("--guidance_sigma_min", type=float, default=0.0,
+                    help="limited-interval guidance: guide only in (min, max]")
+    pc.add_argument("--guidance_sigma_max", type=float, default=float("inf"))
     pc.set_defaults(fn=cmd_score)
 
     args = p.parse_args(argv)

@@ -133,11 +133,87 @@ def test_autoguidance_linearity_and_scale_one_identity():
         got = autoguidance_denoise_fn(main_fn, guide_fn, s)(x, sigma, None)
         want = d_guide + s * (d_main - d_guide)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
-    # scale 1 is exactly the main model
-    np.testing.assert_array_equal(
+    # scale 1 recovers the main model up to one float rounding —
+    # D_g + (D_m - D_g) is not bitwise D_m (FMA contraction may round)
+    np.testing.assert_allclose(
         np.asarray(autoguidance_denoise_fn(main_fn, guide_fn, 1.0)(x, sigma, None)),
-        np.asarray(d_main),
+        np.asarray(d_main), rtol=1e-6, atol=1e-6,
     )
+
+
+def test_interval_guidance_gates_on_sigma():
+    """Limited-interval guidance: guided combination inside lo < sigma <= hi
+    (boundaries included/excluded exactly), the PLAIN model outside."""
+
+    def denoise_fn(x, sigma, labels):
+        # cond rows return x, null-label rows x + 1 -> guided = x + 1 - s
+        shift = (labels == NULL_LABEL).astype(jnp.float32).reshape(-1, 1, 1, 1)
+        return x + shift
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 1))
+    labels = jnp.arange(4, dtype=jnp.int32)
+    scale = 3.0
+    fn = cfg_denoise_fn(denoise_fn, scale, interval=(0.5, 2.0))
+    guided_want = np.asarray(x) + 1.0 - scale
+    plain_want = np.asarray(x)
+    for sig, want in [
+        (1.0, guided_want),   # inside
+        (2.0, guided_want),   # hi boundary: inclusive
+        (0.5, plain_want),    # lo boundary: exclusive
+        (3.0, plain_want),    # above
+        (0.2, plain_want),    # below
+    ]:
+        got = fn(x, jnp.full((4,), sig, jnp.float32), labels)
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=1e-6, atol=1e-6, err_msg=str(sig)
+        )
+
+    # autoguidance takes the same gate (plain branch = the MAIN model)
+    def main_fn(x, sigma, labels):
+        return x * 2.0
+
+    def guide_fn(x, sigma, labels):
+        return x * 0.5 + 1.0
+
+    afn = autoguidance_denoise_fn(main_fn, guide_fn, scale, interval=(0.5, 2.0))
+    d_main, d_guide = np.asarray(x) * 2.0, np.asarray(x) * 0.5 + 1.0
+    np.testing.assert_allclose(
+        np.asarray(afn(x, jnp.ones((4,), jnp.float32), labels)),
+        d_guide + scale * (d_main - d_guide), rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(afn(x, jnp.full((4,), 5.0, jnp.float32), labels)),
+        d_main, rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_interval_guidance_inside_solver_scan():
+    """The lax.cond gate must trace inside the solver's jitted lax.scan (the
+    real deployment site) and reproduce a python-loop reference solve that
+    switches guidance per step."""
+    from tinyedm_tpu.diffusion.solver import DeterministicSolver
+
+    def denoise_fn(x, sigma, labels):
+        shift = (labels == NULL_LABEL).astype(jnp.float32).reshape(-1, 1, 1, 1)
+        return 0.9 * x + 0.3 * shift
+
+    scale, lo, hi = 2.0, 0.5, 5.0
+    solver = DeterministicSolver(num_steps=6, sigma_min=0.01, sigma_max=20.0)
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (3, 4, 4, 1))
+    labels = jnp.zeros((3,), jnp.int32)
+    fn = cfg_denoise_fn(denoise_fn, scale, interval=(lo, hi))
+    got = jax.jit(lambda x: solver.solve(fn, x, labels))(x0)
+
+    # reference: the masked (both-branches-computed) equivalent of the gate —
+    # same arithmetic per branch, no lax.cond
+    def gated_ref(x, sigma, labels):
+        g = cfg_denoise_fn(denoise_fn, scale)(x, sigma, labels)
+        p = denoise_fn(x, sigma, labels)
+        sig = sigma.reshape(-1)[0]
+        return jnp.where(jnp.logical_and(sig > lo, sig <= hi), g, p)
+
+    want = solver.solve(gated_ref, x0, labels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6)
 
 
 def test_drop_labels_statistics_and_passthrough():

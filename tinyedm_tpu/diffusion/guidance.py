@@ -21,14 +21,44 @@ while tracing the model once inside the sampler's ``lax.scan``.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 NULL_LABEL = -1  # one_hot(-1) == zero vector == EDM2's unconditional form
 
+Interval = Optional[Tuple[float, float]]
 
-def cfg_denoise_fn(denoise_fn, guidance_scale: float):
+
+def _interval_gate(plain_fn, guided_fn, interval: Interval):
+    """Limited-interval guidance (Kynkäanniemi et al. 2024, "Applying
+    Guidance in a Limited Interval Improves Sample and Distribution Quality
+    in Diffusion Models"): run the guided combination only while
+    ``lo < sigma <= hi`` and the plain model everywhere else.
+
+    ``lax.cond`` executes ONE branch per solver half-step, so outside the
+    interval the guide forward (CFG's stacked second half / autoguidance's
+    second model) is genuinely skipped, not masked — guidance is typically
+    active on a minority of the sigma schedule, so this also recovers most
+    of guidance's 2x sampling cost. The gate keys on ``sigma[0]``: inside a
+    sampler step every row shares one sigma (solver.py builds the batch
+    vector from a scalar table entry); this is a sampling-time wrapper, not
+    a training-time one.
+    """
+    if interval is None:
+        return guided_fn
+    lo, hi = float(interval[0]), float(interval[1])
+
+    def gated(x: jnp.ndarray, sigma: jnp.ndarray, labels):
+        sig = sigma.reshape(-1)[0]
+        inside = jnp.logical_and(sig > lo, sig <= hi)
+        return jax.lax.cond(inside, guided_fn, plain_fn, x, sigma, labels)
+
+    return gated
+
+
+def cfg_denoise_fn(denoise_fn, guidance_scale: float, interval: Interval = None):
     """Wrap a ``denoise_fn(x, sigma, labels)`` with classifier-free guidance.
 
     The wrapped function evaluates conditional and unconditional branches in
@@ -36,6 +66,8 @@ def cfg_denoise_fn(denoise_fn, guidance_scale: float):
     ``guidance_scale == 1`` it is mathematically the conditional model (the
     combination collapses to D_cond); scale 0 is fully unconditional.
     Labels are required — guiding an unconditional model is meaningless.
+    ``interval=(lo, hi)`` restricts guidance to ``lo < sigma <= hi``
+    (plain conditional forward elsewhere — see ``_interval_gate``).
     """
     scale = float(guidance_scale)
 
@@ -53,10 +85,12 @@ def cfg_denoise_fn(denoise_fn, guidance_scale: float):
         d_cond, d_uncond = jnp.split(d, 2, axis=0)
         return d_uncond + scale * (d_cond - d_uncond)
 
-    return guided
+    return _interval_gate(denoise_fn, guided, interval)
 
 
-def autoguidance_denoise_fn(main_fn, guide_fn, guidance_scale: float):
+def autoguidance_denoise_fn(
+    main_fn, guide_fn, guidance_scale: float, interval: Interval = None
+):
     """Autoguidance (Karras et al. 2024, "Guiding a Diffusion Model with a
     Bad Version of Itself"): guide a model with a smaller / less-trained
     version of itself instead of its own unconditional branch —
@@ -66,8 +100,11 @@ def autoguidance_denoise_fn(main_fn, guide_fn, guidance_scale: float):
     Works for conditional AND unconditional models (both branches see the
     same labels). Two forwards per half-step — the models carry different
     weights (and possibly different architectures), so they cannot share a
-    stacked batch the way CFG's cond/uncond branches do. Scale 1 is exactly
-    the main model.
+    stacked batch the way CFG's cond/uncond branches do. Scale 1 recovers
+    the main model up to float rounding (``D_g + (D_m - D_g)`` is not
+    bitwise ``D_m``). ``interval=(lo, hi)`` restricts guidance to
+    ``lo < sigma <= hi`` (main model alone elsewhere — see
+    ``_interval_gate``).
     """
     scale = float(guidance_scale)
 
@@ -76,7 +113,7 @@ def autoguidance_denoise_fn(main_fn, guide_fn, guidance_scale: float):
         d_guide = guide_fn(x, sigma, labels)
         return d_guide + scale * (d_main - d_guide)
 
-    return guided
+    return _interval_gate(main_fn, guided, interval)
 
 
 def drop_labels(rng, labels: jnp.ndarray, p: float) -> jnp.ndarray:
@@ -84,7 +121,5 @@ def drop_labels(rng, labels: jnp.ndarray, p: float) -> jnp.ndarray:
     replace a label by ``NULL_LABEL`` (zero one-hot through the embedding).
     Call only when ``p > 0`` so the parity graph stays byte-identical at
     the default ``label_dropout: 0``."""
-    import jax
-
     drop = jax.random.bernoulli(rng, p, labels.shape)
     return jnp.where(drop, jnp.full_like(labels, NULL_LABEL), labels)

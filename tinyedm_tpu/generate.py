@@ -75,6 +75,8 @@ def generate(
     guide_ckpt_path: str | None = None,
     guide_ckpt_step: int | None = None,
     guide_ema_index: int = 0,
+    guidance_sigma_min: float = 0.0,
+    guidance_sigma_max: float = float("inf"),
 ) -> None:
     tune_for_tpu()
     spec, model, variables, _ = load_edm_from_checkpoint(
@@ -140,6 +142,11 @@ def generate(
         raise ValueError("--guide_ckpt_path needs --guidance_scale")
     if auto_guided:
         guide_vars = replicate_state(mesh, guide_vars)
+    # limited-interval guidance: only wrap in the sigma gate when the
+    # interval actually restricts something (default (0, inf) = always on)
+    interval = None
+    if guided and (guidance_sigma_min > 0 or guidance_sigma_max != float("inf")):
+        interval = (guidance_sigma_min, guidance_sigma_max)
 
     def _sample(variables, gvars, x0, labels, churn_key):
         def denoise_fn(x, sigma, lab):
@@ -154,13 +161,14 @@ def generate(
                 denoise_fn,
                 lambda x, s, l: guide_model.apply(gvars, x, s, l),
                 guidance_scale,
+                interval=interval,
             )
         elif guided:
             # classifier-free guidance: one stacked (2B) forward per
             # half-step, cond + null-label branches combined on-device
             from tinyedm_tpu.diffusion.guidance import cfg_denoise_fn
 
-            fn = cfg_denoise_fn(denoise_fn, guidance_scale)
+            fn = cfg_denoise_fn(denoise_fn, guidance_scale, interval=interval)
         lab = labels if conditional else None
         if stochastic:
             return solver.solve(fn, x0, lab, rng=churn_key)
@@ -255,6 +263,15 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--guide_ckpt_step", type=int, default=None)
     parser.add_argument("--guide_ema_index", type=int, default=0)
+    parser.add_argument(
+        "--guidance_sigma_min", type=float, default=0.0,
+        help="limited-interval guidance (Kynkaanniemi et al. 2024): apply "
+             "guidance only while sigma_min < sigma <= sigma_max, the plain "
+             "model elsewhere — improves FID at high scales AND skips the "
+             "guide forward outside the interval (EDM2's ImageNet-512 "
+             "interval is [0.19, 1.61])",
+    )
+    parser.add_argument("--guidance_sigma_max", type=float, default=float("inf"))
     args = parser.parse_args(argv)
     generate(
         args.ckpt_path,
@@ -281,6 +298,8 @@ def main(argv=None) -> None:
         args.guide_ckpt_path,
         args.guide_ckpt_step,
         args.guide_ema_index,
+        args.guidance_sigma_min,
+        args.guidance_sigma_max,
     )
 
 
