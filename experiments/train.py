@@ -107,6 +107,9 @@ def main(argv=None) -> None:
         # (memory knob for the 272.9M latent configs on real meshes;
         # equivalent up to float reduction order — see docs/CONFIG.md)
         zero1=bool(tcfg.get("zero1", False)),
+        # tensor parallelism: reshape the mesh to (devices/N, N) and shard
+        # every weight-normed kernel's output channels over ``model``
+        model_parallel=int(tcfg.get("model_parallel", 1)),
     )
     print(f"devices: {jax.devices()}")
     trainer.fit(resume=args.resume)

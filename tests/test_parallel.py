@@ -122,10 +122,10 @@ def test_eval_step_sharded_metrics(mesh8):
 
 
 def test_model_axis_composes_with_train_step():
-    """The model axis exists in the mesh API so TP is a config change — and
-    the full train step (incl. custom_partitioning kernels) must actually
-    compile and run on a (data=4, model=2) mesh, catching replication/
-    partition conflicts before TP is ever real."""
+    """TP is a config change: on a (data=4, model=2) mesh the full train step
+    (incl. custom_partitioning kernels) compiles and runs with every
+    weight-normed kernel genuinely sharded over the model axis (deeper
+    numerics checks live in tests/test_tensor_parallel.py)."""
     mesh = make_mesh(model_parallel=2)
     assert mesh.shape == {"data": 4, "model": 2}
     model = tiny_model()
@@ -136,7 +136,7 @@ def test_model_axis_composes_with_train_step():
         mesh, init_train_state(jax.random.PRNGKey(1), model, img, cfg)
     )
     plan = ShardingPlan(mesh)
-    step = plan.jit_train_step(make_train_step(model, diffuser, cfg))
+    step = plan.jit_train_step(make_train_step(model, diffuser, cfg), state=state)
     batch = shard_batch(mesh, (np.asarray(img), np.zeros((16,), np.int32)))
     state, metrics = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(0.0))
     assert np.isfinite(float(metrics["train_loss"]))

@@ -3,10 +3,13 @@
 The reference's entire distributed story is Lightning DDP over NCCL implied
 by ``devices: -1, strategy: auto`` (conf/cifar10.yaml:4-8; SURVEY.md §2.4).
 The TPU-native equivalent: one mesh over ICI with a ``data`` axis (DP,
-first-class) and a ``model`` axis stub (size 1 by default) so tensor
-sharding is a config change, not a rewrite. The jitted train step runs under
-``jax.jit`` with NamedShardings: batch split on ``data``, state replicated —
-XLA emits the gradient all-reduce over ICI, which *is* DDP.
+first-class) and a ``model`` axis so tensor parallelism is a config change,
+not a rewrite — ``trainer.model_parallel: N`` reshapes the mesh and
+``state_shardings`` shards every weight-normed kernel's output-channel axis
+over ``model``; GSPMD derives the activation shardings and collectives from
+those parameter specs. The jitted train step runs under ``jax.jit`` with
+NamedShardings: batch split on ``data``, state replicated (or TP/ZeRO-1
+sharded) — XLA emits the gradient all-reduce over ICI, which *is* DDP.
 
 Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` (the
 DCN axis becomes the outer dimension of the device reshape automatically via
@@ -91,59 +94,137 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(place, batch)
 
 
-def zero1_spec(shape: tuple, data_size: int) -> P:
+def _zero1_axis(shape: tuple, data_size: int, skip: Optional[int] = None):
+    """Largest data-divisible axis (ties prefer the LAST such axis); ``skip``
+    excludes an axis already claimed by tensor parallelism."""
+    if data_size <= 1:
+        return None
+    best = None
+    for i, d in enumerate(shape):
+        if i == skip:
+            continue
+        if d % data_size == 0 and d >= data_size:
+            if best is None or d >= shape[best]:
+                best = i
+    return best
+
+
+def zero1_spec(shape: tuple, data_size: int, skip: Optional[int] = None) -> P:
     """ZeRO-1 PartitionSpec for one state leaf: split the largest axis that
     divides evenly by the data-axis size; leaves with no such axis (scalars,
     tiny gains) stay replicated. Ties prefer the LAST such axis — for conv
     kernels (HWIO) and stacked EMA copies that is the output-channel axis,
-    which keeps the per-output weight-renorm reduction shard-local."""
-    if data_size <= 1:
-        return P()
-    best = None
-    for i, d in enumerate(shape):
-        if d % data_size == 0 and d >= data_size:
-            if best is None or d >= shape[best]:
-                best = i
+    which keeps the per-output weight-renorm reduction shard-local. ``skip``
+    excludes the axis tensor parallelism already shards over ``model``."""
+    best = _zero1_axis(shape, data_size, skip)
     if best is None:
         return P()
     return P(*([None] * best + [DATA_AXIS]))
 
 
+# output-channel axis of a weight-normed kernel, by rank: WNLinear (out, in),
+# scan-stacked (L, out, in), WNConv HWIO, scan-stacked (L, kh, kw, I, O) —
+# the same rank dispatch as training/state.py::force_weight_norm
+_TP_OUT_AXIS = {2: 0, 3: 1, 4: 3, 5: 4}
+
+
+def tp_param_spec(shape: tuple, model_size: int) -> P:
+    """Tensor-parallel PartitionSpec for one weight-normed kernel: shard the
+    OUTPUT-channel axis over ``model``. This keeps the per-output weight
+    renorm reduction (force_weight_norm: norm over fan-in per output unit)
+    entirely shard-local, and GSPMD propagates the resulting channel-sharded
+    activations through the network, inserting the contraction psums where a
+    following kernel reduces over its (sharded) input channels. Kernels whose
+    output axis does not divide the model-axis size (conv_out's image
+    channels, the uncertainty head) replicate — XLA reshards at the boundary."""
+    ax = _TP_OUT_AXIS.get(len(shape))
+    if model_size <= 1 or ax is None:
+        return P()
+    if shape[ax] % model_size != 0 or shape[ax] < model_size:
+        return P()
+    spec = [None] * len(shape)
+    spec[ax] = MODEL_AXIS
+    return P(*spec)
+
+
+def _is_kernel(path) -> bool:
+    return bool(path) and getattr(path[-1], "key", None) == "w"
+
+
 def state_shardings(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
     """Per-leaf NamedShardings for a TrainState (or its jax.eval_shape
-    abstraction): everything replicated; with ``zero1``, the Adam moments and
-    every EMA tree shard their largest data-divisible axis over ``data``
-    (ZeRO-1 / optimizer-state sharding, SURVEY.md §2.3's FSDP note). Params
-    stay replicated — XLA all-gathers the sharded Adam *updates* once per
-    step (same bytes as the gradient all-reduce) and the EMA update reads the
-    replicated params by local slice, so the only steady-state cost is one
-    extra all-gather while per-chip memory drops by ~(1-1/N) of the moment +
-    EMA bytes (ImageNet-512: mu+nu fp32 + 2 EMA trees = 16 B/param x 272.9M
-    ~= 4.4 GB -> ~0.5 GB/chip on 8 chips)."""
+    abstraction).
+
+    Defaults: everything replicated (pure DP — the gradient all-reduce over
+    ICI is the reference's DDP).
+
+    Tensor parallelism is a mesh-shape change: when the mesh ``model`` axis
+    is larger than 1, every weight-normed kernel (leaves named ``w``, the
+    same convention force_weight_norm keys on) shards its output-channel axis
+    over ``model`` — params, Adam moments, and every EMA tree identically, so
+    the elementwise optimizer/EMA updates stay shard-local and no resharding
+    happens inside the step. GSPMD derives the activation shardings and the
+    collectives from these parameter specs.
+
+    With ``zero1``, the Adam moments and every EMA tree additionally shard
+    their largest data-divisible axis over ``data`` (ZeRO-1 / optimizer-state
+    sharding, SURVEY.md §2.3's FSDP note; composes with TP by skipping the
+    model-sharded axis). Params stay data-replicated — XLA all-gathers the
+    sharded Adam *updates* once per step (same bytes as the gradient
+    all-reduce), so the only steady-state cost is one extra all-gather while
+    per-chip memory drops by ~(1-1/N) of the moment + EMA bytes
+    (ImageNet-512: mu+nu fp32 + 2 EMA trees = 16 B/param x 272.9M ~= 4.4 GB
+    -> ~0.5 GB/chip on 8 chips)."""
     rep = replicated(mesh)
     shardings = jax.tree_util.tree_map(lambda _: rep, state)
-    if not zero1:
-        return shardings
+    tp = mesh.shape[MODEL_AXIS]
     d = mesh.shape[DATA_AXIS]
+    # TrainState (or its shape-abstraction) only; plain variables dicts (the
+    # sampling path) always replicate
+    tp_on = tp > 1 and hasattr(state, "params") and hasattr(state, "replace")
+    if not (zero1 or tp_on):
+        return shardings
 
-    def shard_leaf(x):
-        return NamedSharding(mesh, zero1_spec(getattr(x, "shape", ()), d))
+    def param_leaf(path, x):
+        if tp_on and _is_kernel(path):
+            return NamedSharding(mesh, tp_param_spec(x.shape, tp))
+        return rep
+
+    def opt_leaf(path, x):
+        shape = getattr(x, "shape", ())
+        base = (
+            tp_param_spec(shape, tp) if (tp_on and _is_kernel(path)) else P()
+        )
+        if not zero1:
+            return NamedSharding(mesh, base)
+        taken = _TP_OUT_AXIS.get(len(shape)) if MODEL_AXIS in base else None
+        zax = _zero1_axis(shape, d, skip=taken)
+        if zax is None:
+            return NamedSharding(mesh, base)
+        merged = list(base) + [None] * (len(shape) - len(base))
+        merged[zax] = DATA_AXIS
+        return NamedSharding(mesh, P(*merged))
 
     return shardings.replace(
-        opt_state=jax.tree_util.tree_map(shard_leaf, state.opt_state),
-        ema=jax.tree_util.tree_map(shard_leaf, state.ema),
+        params=jax.tree_util.tree_map_with_path(param_leaf, state.params),
+        opt_state=jax.tree_util.tree_map_with_path(opt_leaf, state.opt_state),
+        ema=jax.tree_util.tree_map_with_path(opt_leaf, state.ema),
     )
 
 
 def place_state(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
-    """Place a host/abstract-placed train state onto the mesh: replicated, or
-    with ZeRO-1 sharded optimizer/EMA state when ``zero1``."""
+    """Place a host/abstract-placed train state onto the mesh: replicated
+    (DP), kernel-sharded over ``model`` when the mesh has a non-trivial model
+    axis (TP), and/or with ZeRO-1 sharded optimizer/EMA state when
+    ``zero1``."""
     return jax.device_put(state, state_shardings(mesh, state, zero1))
 
 
 def replicate_state(mesh: Mesh, state: Any) -> Any:
-    """Fully replicate a train-state pytree over the mesh (DP for a 35.6M-param
-    model; see ``place_state(zero1=True)`` for the sharded-optimizer form)."""
+    """Place a train-state pytree over the mesh: replicated for a pure-DP
+    mesh (35.6M-param models), TP-sharded kernels when the mesh model axis >
+    1; see ``place_state(zero1=True)`` for the sharded-optimizer form.
+    Plain variables dicts (sampling) always replicate."""
     return place_state(mesh, state)
 
 
@@ -159,11 +240,15 @@ class ShardingPlan:
     zero1: bool = False
 
     def _state_shardings(self, state):
-        if not self.zero1:
+        tp = self.mesh.shape[MODEL_AXIS] > 1
+        if not (self.zero1 or tp):
             return replicated(self.mesh)  # pytree prefix: whole state
         if state is None:
-            raise ValueError("zero1 ShardingPlan needs the state to derive shardings")
-        return state_shardings(self.mesh, state, zero1=True)
+            raise ValueError(
+                "a zero1 or tensor-parallel ShardingPlan needs the state "
+                "to derive per-leaf shardings"
+            )
+        return state_shardings(self.mesh, state, zero1=self.zero1)
 
     def jit_train_step(self, train_step, state=None):
         rep = replicated(self.mesh)

@@ -59,6 +59,7 @@ class Trainer:
         mesh=None,
         config: Optional[dict] = None,
         zero1: bool = False,
+        model_parallel: int = 1,
     ):
         self.spec = spec
         self.model = spec.build_model()
@@ -75,11 +76,15 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.seed = seed
         self.config = config  # self-describing checkpoint payload
-        self.mesh = mesh if mesh is not None else make_mesh()
-        # zero1: shard Adam moments + EMA trees over the mesh data axis
-        # (ZeRO-1) — a memory knob for the big latent configs on real meshes;
-        # equivalent training up to float reduction order
-        # (tests/test_parallel.py)
+        # model_parallel > 1 reshapes the mesh to (devices/N, N) and
+        # state_shardings TP-shards every weight-normed kernel over the
+        # ``model`` axis (tests/test_tensor_parallel.py); zero1 shards Adam
+        # moments + EMA trees over ``data`` (ZeRO-1) — a memory knob for the
+        # big latent configs on real meshes. Both are equivalent to DP up to
+        # float reduction order.
+        self.mesh = (
+            mesh if mesh is not None else make_mesh(model_parallel=model_parallel)
+        )
         self.zero1 = bool(zero1)
         self.plan = ShardingPlan(self.mesh, zero1=self.zero1)
         self.ckpt = CheckpointManager(
