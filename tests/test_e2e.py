@@ -50,7 +50,9 @@ def tiny_spec(use_ema=True):
     )
 
 
-def make_trainer(tmp_path, spec, max_epochs=2, callbacks=(), zero1=False):
+def make_trainer(
+    tmp_path, spec, max_epochs=2, callbacks=(), zero1=False, model_parallel=1
+):
     dm = SyntheticDataModule(
         batch_size=16, image_size=8, num_channels=1, num_samples=64
     )
@@ -66,6 +68,7 @@ def make_trainer(tmp_path, spec, max_epochs=2, callbacks=(), zero1=False):
         seed=0,
         config={"model": deinstantiate(spec), "seed": 0},
         zero1=zero1,
+        model_parallel=model_parallel,
     )
 
 
@@ -118,6 +121,48 @@ def test_zero1_fit_checkpoint_resume_matches_replicated(tmp_path):
     for a, b in zip(
         jax.tree_util.tree_leaves(params["rep"]),
         jax.tree_util.tree_leaves(params["zero1"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
+
+
+def test_tp_fit_checkpoint_resume_matches_replicated(tmp_path):
+    """Tensor parallelism through the whole trainer loop
+    (trainer.model_parallel: 2 on the 8-device CPU mesh): fit -> checkpoint
+    -> resume matches the pure-DP run to float reduction-order tolerance,
+    and the orbax round-trip re-places the restored state with the
+    TP-sharded layout (GenerateCallback previews run under TP too)."""
+    from tinyedm_tpu.parallel.mesh import MODEL_AXIS
+
+    params = {}
+    for name, mp in (("dp", 1), ("tp", 2)):
+        gen_cb = GenerateCallback(
+            DeterministicSolver(num_steps=3),
+            img_shape=(1, 8, 8), num_samples=4, every_n_epochs=1,
+        )
+        trainer = make_trainer(
+            tmp_path / name, tiny_spec(), max_epochs=1, model_parallel=mp,
+            callbacks=[gen_cb],
+        )
+        trainer.fit()
+        trainer.ckpt.wait()
+        trainer2 = make_trainer(
+            tmp_path / name, tiny_spec(), max_epochs=2, model_parallel=mp
+        )
+        trainer2.fit(resume=True)
+        assert trainer2.global_step == 2 * 4
+        if mp > 1:
+            # the restored-and-resumed state is genuinely TP-sharded
+            assert any(
+                MODEL_AXIS in leaf.sharding.spec
+                for leaf in jax.tree_util.tree_leaves(trainer2.state.params)
+                if not leaf.sharding.is_fully_replicated
+            ), "no param leaf TP-sharded after resume"
+        params[name] = trainer2.state.params
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params["dp"]),
+        jax.tree_util.tree_leaves(params["tp"]),
     ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5

@@ -161,6 +161,48 @@ def test_tp_preserves_forced_weight_norm(tp_mesh):
 
 
 @pytest.mark.slow
+def test_tp_sampling_matches_single_device(tp_mesh):
+    """The Heun sampler with TP-sharded weights (generate --model_parallel)
+    reproduces the single-device solve to float reduction-order tolerance —
+    per-forward contractions psum over the model axis."""
+    from tinyedm_tpu.diffusion.solver import DeterministicSolver
+    from tinyedm_tpu.parallel.mesh import (
+        batch_sharding,
+        place_variables,
+        variables_shardings,
+    )
+
+    model = tiny_model()
+    img = jnp.zeros((8, 8, 8, 1), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, img, jnp.ones((8,), jnp.float32), None
+    )
+    solver = DeterministicSolver(num_steps=3)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 1))
+
+    def solve(v, x):
+        return solver.solve(lambda xx, s, l: model.apply(v, xx, s, l), x, None)
+
+    want = np.asarray(jax.jit(solve)(variables, x0))
+
+    placed = place_variables(tp_mesh, variables)
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(placed)
+    ), "no variable leaf sharded on the TP mesh"
+    solve_tp = jax.jit(
+        solve,
+        in_shardings=(
+            variables_shardings(tp_mesh, variables), batch_sharding(tp_mesh)
+        ),
+        out_shardings=batch_sharding(tp_mesh),
+    )
+    got = np.asarray(solve_tp(placed, shard_batch(tp_mesh, np.asarray(x0))))
+    # bf16 model forward: reduction-order differences land at bf16 scale
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.slow
 def test_tp_composes_with_zero1(tp_mesh):
     """tp + zero1 together: kernels sharded over model AND moments/EMA
     additionally sharded over data on a remaining axis; one step runs

@@ -27,10 +27,11 @@ from tinyedm_tpu.diffusion.solver import DeterministicSolver
 from tinyedm_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    place_variables,
     process_local_slice,
-    replicate_state,
     replicated,
     shard_batch,
+    variables_shardings,
 )
 from tinyedm_tpu.training.callbacks import PreditionWriter
 from tinyedm_tpu.training.checkpoint import load_edm_from_checkpoint
@@ -77,6 +78,7 @@ def generate(
     guide_ema_index: int = 0,
     guidance_sigma_min: float = 0.0,
     guidance_sigma_max: float = float("inf"),
+    model_parallel: int = 1,
 ) -> None:
     tune_for_tpu()
     spec, model, variables, _ = load_edm_from_checkpoint(
@@ -98,14 +100,16 @@ def generate(
     # data-parallel sampling over every visible chip: batch split on the
     # mesh ``data`` axis, weights replicated. On one device this degenerates
     # to the plain jit. (The reference samples on a single GPU; 50k-sample
-    # FID dumps are embarrassingly batch-parallel.)
-    mesh = make_mesh()
+    # FID dumps are embarrassingly batch-parallel.) --model_parallel N
+    # additionally TP-shards the weight-normed kernels over the ``model``
+    # axis — for models whose weights don't fit one chip's HBM.
+    mesh = make_mesh(model_parallel=model_parallel)
     n_data = mesh.shape["data"]
     if batch_size % n_data:
         batch_size = -(-batch_size // n_data) * n_data
         print(f"[generate] batch_size rounded up to {batch_size} "
               f"(multiple of the {n_data}-way data axis)")
-    variables = replicate_state(mesh, variables)
+    variables = place_variables(mesh, variables)
     stochastic = s_churn > 0
     if stochastic:
         from tinyedm_tpu.diffusion.solver import StochasticSolver
@@ -141,7 +145,7 @@ def generate(
     if guide_model is not None and not guided:
         raise ValueError("--guide_ckpt_path needs --guidance_scale")
     if auto_guided:
-        guide_vars = replicate_state(mesh, guide_vars)
+        guide_vars = place_variables(mesh, guide_vars)
     # limited-interval guidance: only wrap in the sigma gate when the
     # interval actually restricts something (default (0, inf) = always on)
     interval = None
@@ -174,11 +178,17 @@ def generate(
             return solver.solve(fn, x0, lab, rng=churn_key)
         return solver.solve(fn, x0, lab)
 
-    # gvars is None (an empty pytree — sharding prefix vacuous) unless
-    # autoguidance loaded a second model
+    # weight in_shardings come from the placed trees (replicated on a DP
+    # mesh, kernel-sharded under --model_parallel); gvars is None (an empty
+    # pytree — sharding prefix vacuous) unless autoguidance loaded a second
+    # model
+    gvar_shd = variables_shardings(mesh, guide_vars) if auto_guided else rep
     sample = jax.jit(
         _sample,
-        in_shardings=(rep, rep, data_shd, data_shd, rep),
+        in_shardings=(
+            variables_shardings(mesh, variables), gvar_shd,
+            data_shd, data_shd, rep,
+        ),
         out_shardings=data_shd,
     )
 
@@ -272,6 +282,13 @@ def main(argv=None) -> None:
              "interval is [0.19, 1.61])",
     )
     parser.add_argument("--guidance_sigma_max", type=float, default=float("inf"))
+    parser.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="tensor-parallel sampling: shard the weight-normed kernels "
+             "over a model axis of this size (for models too large for one "
+             "chip's HBM); the batch splits over the remaining devices/N "
+             "data axis",
+    )
     args = parser.parse_args(argv)
     generate(
         args.ckpt_path,
@@ -300,6 +317,7 @@ def main(argv=None) -> None:
         args.guide_ema_index,
         args.guidance_sigma_min,
         args.guidance_sigma_max,
+        args.model_parallel,
     )
 
 

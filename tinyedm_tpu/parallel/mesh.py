@@ -212,6 +212,30 @@ def state_shardings(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
     )
 
 
+def variables_shardings(mesh: Mesh, variables: Any) -> Any:
+    """Per-leaf NamedShardings for a flax ``variables`` dict (the sampling
+    path): weight-normed kernels TP-shard over ``model`` when the mesh has a
+    non-trivial model axis, everything else replicates. The sampler's jit
+    should take these as its weight in_shardings so a model too large for
+    one chip's HBM can sample across the model axis."""
+    rep = replicated(mesh)
+    tp = mesh.shape[MODEL_AXIS]
+    if tp <= 1:
+        return jax.tree_util.tree_map(lambda _: rep, variables)
+
+    def leaf(path, x):
+        if _is_kernel(path):
+            return NamedSharding(mesh, tp_param_spec(x.shape, tp))
+        return rep
+
+    return jax.tree_util.tree_map_with_path(leaf, variables)
+
+
+def place_variables(mesh: Mesh, variables: Any) -> Any:
+    """Place a flax variables dict onto the mesh per ``variables_shardings``."""
+    return jax.device_put(variables, variables_shardings(mesh, variables))
+
+
 def place_state(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
     """Place a host/abstract-placed train state onto the mesh: replicated
     (DP), kernel-sharded over ``model`` when the mesh has a non-trivial model
