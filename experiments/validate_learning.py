@@ -57,6 +57,12 @@ def main() -> None:
         help="fp32 (reference-parity) vs bf16 modulation islands — the A/B "
         "evidence behind the docs/PERFORMANCE.md mod_fp32 knob",
     )
+    parser.add_argument(
+        "--guided", action="store_true",
+        help="learning-level CFG validation: train with label_dropout=0.15, "
+        "then require guided sampling (scale 2, plain AND limited-interval) "
+        "to sharpen per-class identity vs the unguided baseline",
+    )
     args = parser.parse_args()
 
     import jax
@@ -100,7 +106,8 @@ def main() -> None:
     )
     diffuser = Diffuser(P_mean=-1.2, P_std=1.2)
     opt = OptimizerConfig(lr=0.006, rampup_steps=100, steady_steps=2000,
-                          scheduler_interval="step")
+                          scheduler_interval="step",
+                          label_dropout=0.15 if args.guided else 0.0)
     ema_cfg = EMAConfig(sigma_rels=(0.13,))
 
     batch_size = 256
@@ -139,21 +146,59 @@ def main() -> None:
     labs = jnp.repeat(jnp.arange(num_classes, dtype=jnp.int32), n_per)
     samples = np.asarray(sample(x0, labs))
 
-    # criterion: per-class sample mean vs templates (cosine similarity)
+    def class_sims(samples):
+        """(own-sim, best-other-sim) per class: per-class sample mean vs the
+        generating templates, cosine similarity."""
+        out = []
+        for c in range(num_classes):
+            mean_c = samples[np.asarray(labs) == c].mean(axis=0).reshape(-1)
+            sims = []
+            for c2 in range(num_classes):
+                t = templates[c2].reshape(-1)
+                sims.append(
+                    float(mean_c @ t / (np.linalg.norm(mean_c) * np.linalg.norm(t) + 1e-8))
+                )
+            out.append((sims[c], max(s for i, s in enumerate(sims) if i != c)))
+        return out
+
+    # criterion: per-class sample mean recovers the right template
     ok = True
-    for c in range(num_classes):
-        mean_c = samples[labs == c].mean(axis=0).reshape(-1)
-        sims = []
-        for c2 in range(num_classes):
-            t = templates[c2].reshape(-1)
-            sims.append(
-                float(mean_c @ t / (np.linalg.norm(mean_c) * np.linalg.norm(t) + 1e-8))
-            )
-        own = sims[c]
-        best_other = max(s for i, s in enumerate(sims) if i != c)
+    base = class_sims(samples)
+    for c, (own, best_other) in enumerate(base):
         status = "OK" if own > 0.9 and own > best_other + 0.1 else "FAIL"
         ok &= status == "OK"
         print(f"class {c}: own-sim {own:.3f}, best-other {best_other:.3f}  [{status}]")
+
+    if args.guided:
+        # learning-level CFG evidence: with a label-dropout-trained model,
+        # guided sampling (cond + null-label branches combined on-device)
+        # must sharpen class identity relative to the unguided solve, and
+        # the limited-interval form must stay in PASS territory
+        from tinyedm_tpu.diffusion.guidance import cfg_denoise_fn
+
+        def guided_samples(scale, interval=None):
+            fn = cfg_denoise_fn(
+                lambda x, s, l: model.apply(variables, x, s, l), scale,
+                interval=interval,
+            )
+            g = jax.jit(lambda x0, labs: solver.solve(fn, x0, labs))
+            return np.asarray(g(x0, labs))
+
+        for tag, interval in (("cfg2", None), ("cfg2-interval", (0.1, 2.0))):
+            sims = class_sims(guided_samples(2.0, interval))
+            for c, (own, best_other) in enumerate(sims):
+                margin_base = base[c][0] - base[c][1]
+                margin = own - best_other
+                # guidance must preserve the identity criterion and not
+                # shrink the class margin by more than noise
+                good = own > 0.9 and margin > margin_base - 0.02
+                ok &= good
+                print(
+                    f"[{tag}] class {c}: own-sim {own:.3f} "
+                    f"(margin {margin:.3f} vs base {margin_base:.3f})  "
+                    f"[{'OK' if good else 'FAIL'}]"
+                )
+
     print("RESULT:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
