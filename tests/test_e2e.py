@@ -358,3 +358,47 @@ def test_generate_local_rows_multihost_split():
             assert p not in got
             got[p] = g
     assert sorted(got.values()) == indices  # exact cover, no dupes, no pads
+
+
+def test_assemble_local_batch_dedups_tp_replica_shards():
+    """Under TP the P('data')-sharded output replicates every data chunk
+    across the model axis, so addressable_shards contains model_parallel
+    copies per chunk — assemble_local_batch must keep exactly one per row
+    start, in row order (regression: duplicated shards used to displace the
+    second chunk's rows on multi-host TP sampling)."""
+    from tinyedm_tpu.generate import assemble_local_batch
+
+    chunk0 = np.full((2, 1), 0.0)
+    chunk8 = np.full((2, 1), 8.0)
+    # model_parallel=2: each chunk appears twice, arbitrary order
+    pairs = [(8, chunk8), (0, chunk0), (8, chunk8.copy()), (0, chunk0.copy())]
+    out = assemble_local_batch(pairs)
+    np.testing.assert_array_equal(out, np.concatenate([chunk0, chunk8]))
+    # degenerate DP case: unique shards pass through in row order
+    out = assemble_local_batch([(8, chunk8), (0, chunk0)])
+    np.testing.assert_array_equal(out, np.concatenate([chunk0, chunk8]))
+
+
+def test_generate_interval_without_scale_raises(tmp_path):
+    """--guidance_sigma_min/max without --guidance_scale must fail loudly
+    instead of silently sampling unguided (an hours-long FID run would
+    otherwise report a misleading score)."""
+    from tinyedm_tpu.generate import generate
+
+    spec = tiny_spec()
+    trainer = make_trainer(tmp_path, spec, max_epochs=1)
+    trainer.fit()
+    trainer.ckpt.wait()
+    with pytest.raises(ValueError, match="guidance_sigma"):
+        generate(
+            ckpt_path=str(tmp_path / "run" / "checkpoints"),
+            load_ema=True,
+            output_dir=str(tmp_path / "out"),
+            num_samples=2,
+            image_size=8,
+            num_classes=10,
+            batch_size=2,
+            num_steps=2,
+            num_channels=1,
+            guidance_sigma_min=0.19,
+        )

@@ -51,6 +51,26 @@ def test_tp_param_spec_output_axis_by_rank():
     assert tp_param_spec((3, 3, 16, 32), 1) == P()
 
 
+def test_trainer_rejects_mesh_plus_model_parallel(tmp_path):
+    """Passing an explicit mesh AND model_parallel > 1 must fail loudly —
+    the explicit mesh would otherwise silently drop the TP request."""
+    from tinyedm_tpu.data.datamodules import SyntheticDataModule
+    from tinyedm_tpu.training.trainer import Trainer
+
+    from tests.test_e2e import tiny_spec
+
+    with pytest.raises(ValueError, match="model_parallel"):
+        Trainer(
+            spec=tiny_spec(),
+            datamodule=SyntheticDataModule(
+                batch_size=16, image_size=8, num_channels=1, num_samples=64
+            ),
+            out_dir=tmp_path,
+            mesh=make_mesh(),
+            model_parallel=2,
+        )
+
+
 @pytest.fixture(scope="module")
 def tp_mesh():
     assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"

@@ -51,6 +51,21 @@ def local_rows(batch_size: int, n_valid: int, indices, pi: int, pc: int):
     return pos[keep], [indices[int(k)] for k in pos[keep]]
 
 
+def assemble_local_batch(shard_pairs):
+    """Concatenate a process's addressable shards of a batch-sharded array
+    into its contiguous local rows, in row order.
+
+    ``shard_pairs`` is [(row_start, array), ...]. Under tensor parallelism
+    the output's P('data') sharding replicates every data chunk across the
+    model axis, so a process sees each of its chunks ``model_parallel``
+    times — keep exactly one copy per unique row_start (duplicates are
+    identical replicas by construction)."""
+    unique = {}
+    for start, data in shard_pairs:
+        unique.setdefault(int(start), data)
+    return np.concatenate([unique[k] for k in sorted(unique)])
+
+
 def generate(
     ckpt_path: str,
     load_ema: bool,
@@ -149,7 +164,13 @@ def generate(
     # limited-interval guidance: only wrap in the sigma gate when the
     # interval actually restricts something (default (0, inf) = always on)
     interval = None
-    if guided and (guidance_sigma_min > 0 or guidance_sigma_max != float("inf")):
+    if guidance_sigma_min > 0 or guidance_sigma_max != float("inf"):
+        if not guided:
+            raise ValueError(
+                "--guidance_sigma_min/--guidance_sigma_max need "
+                "--guidance_scale (an interval without a scale would "
+                "silently sample unguided)"
+            )
         interval = (guidance_sigma_min, guidance_sigma_max)
 
     def _sample(variables, gvars, x0, labels, churn_key):
@@ -218,11 +239,12 @@ def generate(
             idx = indices
         else:
             # multi-host: every process solves its batch shard and writes
-            # ONLY its own rows (process-contiguous by shard_batch)
-            shards = sorted(
-                xT.addressable_shards, key=lambda s: s.index[0].start or 0
+            # ONLY its own rows (process-contiguous by shard_batch; TP
+            # model-axis replicas deduped by row start)
+            arr = assemble_local_batch(
+                (s.index[0].start or 0, np.asarray(s.data))
+                for s in xT.addressable_shards
             )
-            arr = np.concatenate([np.asarray(s.data) for s in shards])
             pos, idx = local_rows(batch_size, n, indices, pi, pc)
             arr = arr[pos - pi * (batch_size // pc)]
         if len(idx):

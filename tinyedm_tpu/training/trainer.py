@@ -82,6 +82,12 @@ class Trainer:
         # moments + EMA trees over ``data`` (ZeRO-1) — a memory knob for the
         # big latent configs on real meshes. Both are equivalent to DP up to
         # float reduction order.
+        if mesh is not None and model_parallel > 1:
+            raise ValueError(
+                "pass either an explicit mesh or model_parallel, not both "
+                "(an explicit mesh would silently drop the TP request); "
+                "build the mesh with make_mesh(model_parallel=N) instead"
+            )
         self.mesh = (
             mesh if mesh is not None else make_mesh(model_parallel=model_parallel)
         )
