@@ -99,6 +99,7 @@ def cmd_score(args) -> None:
             guide_ema_index=args.guide_ema_index,
             guidance_sigma_min=args.guidance_sigma_min,
             guidance_sigma_max=args.guidance_sigma_max,
+            solver_name=args.solver,
         )
     feature_fn, kind = _feature_fn(args.features)
     mu1, s1 = compute_stats(png_dir_batches(sample_dir, args.batch_size), feature_fn)
@@ -142,6 +143,8 @@ def main(argv=None) -> None:
     pc.add_argument("--guidance_sigma_min", type=float, default=0.0,
                     help="limited-interval guidance: guide only in (min, max]")
     pc.add_argument("--guidance_sigma_max", type=float, default=float("inf"))
+    pc.add_argument("--solver", default="heun", choices=["heun", "dpmpp2m"],
+                    help="heun (reference, 2n-1 forwards) | dpmpp2m (n forwards)")
     pc.set_defaults(fn=cmd_score)
 
     args = p.parse_args(argv)

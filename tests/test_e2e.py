@@ -247,6 +247,24 @@ def test_generate_cli_roundtrip(tmp_path):
         )
         assert diff.max() <= 1, f"{a} vs {b}: max pixel diff {diff.max()}"
 
+    # DPM-Solver++(2M) through the same CLI path (n forwards vs 2n-1)
+    ms_dir = tmp_path / "samples_dpmpp"
+    generate(
+        ckpt_path=str(tmp_path / "run" / "checkpoints"),
+        load_ema=True,
+        output_dir=str(ms_dir),
+        num_samples=4,
+        image_size=8,
+        num_classes=10,
+        batch_size=4,
+        num_steps=4,
+        num_channels=1,
+        mean=(0.5,),
+        std=(0.25,),
+        solver_name="dpmpp2m",
+    )
+    assert len(sorted(ms_dir.glob("*.png"))) == 4
+
 
 def test_validation_and_best_checkpoint(tmp_path):
     spec = tiny_spec(use_ema=False)

@@ -132,6 +132,101 @@ class DeterministicSolver:
 
 
 @dataclasses.dataclass(frozen=True)
+class MultistepSolver:
+    """DPM-Solver++(2M) (Lu et al. 2022, "DPM-Solver++: Fast Solver for
+    Guided Sampling of Diffusion Probabilistic Models"), data-prediction
+    multistep form specialized to EDM's sigma(t)=t, s(t)=1 parameterization.
+
+    Beyond the reference (which ships only Heun): ONE model forward per step
+    — a second-order multistep correction reuses the previous step's
+    denoised output instead of re-evaluating, so n steps cost n forwards vs
+    Heun's 2n-1 for comparable order-2 accuracy. The update in log-sigma
+    time (lambda = -ln sigma, h_i = lambda_{i+1} - lambda_i):
+
+        D_hat_i = (1 + 1/(2 r_i)) D_i - 1/(2 r_i) D_{i-1},  r_i = h_{i-1}/h_i
+        x_{i+1} = (sigma_{i+1}/sigma_i) x_i - expm1(-h_i) D_hat_i
+
+    with a first-order step (D_hat = D) at i=0 and at the final step to
+    sigma=0 (where the update degenerates to x = D exactly: ratio -> 0,
+    -expm1(-h) -> 1). All coefficients are precomputed on host in fp64 and
+    scanned as tables — the scan body traces the model once, mirroring
+    DeterministicSolver's half-step design.
+    """
+
+    num_steps: int = 18
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    rho: float = 7.0
+    dtype: Optional[str] = None
+
+    @property
+    def jnp_dtype(self):
+        return DeterministicSolver(dtype=self.dtype).jnp_dtype
+
+    @property
+    def t_steps(self) -> np.ndarray:
+        return karras_sigma_schedule(
+            self.num_steps, self.sigma_min, self.sigma_max, self.rho
+        )
+
+    def solve(
+        self,
+        denoise_fn: DenoiseFn,
+        x0: jnp.ndarray,
+        class_labels: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        dtype = self.jnp_dtype
+        b = x0.shape[0]
+        n = self.num_steps
+        t = self.t_steps  # (n+1,) host fp64, trailing 0
+
+        lam = -np.log(t[:-1])  # lambda_i for the n finite sigmas
+        sig, ratio, phi, c1, c2 = [], [], [], [], []
+        for i in range(n):
+            s_cur, s_next = t[i], t[i + 1]
+            sig.append(s_cur)
+            if s_next == 0.0:
+                # h -> inf: ratio 0, -expm1(-h) -> 1, first-order (x = D)
+                ratio.append(0.0)
+                phi.append(1.0)
+                c1.append(1.0)
+                c2.append(0.0)
+                continue
+            h = -np.log(s_next) - lam[i]
+            ratio.append(s_next / s_cur)
+            phi.append(-np.expm1(-h))
+            if i == 0:
+                c1.append(1.0)
+                c2.append(0.0)
+            else:
+                r = (lam[i] - lam[i - 1]) / h
+                c1.append(1.0 + 1.0 / (2.0 * r))
+                c2.append(-1.0 / (2.0 * r))
+        tables = (
+            jnp.asarray(sig, dtype),
+            jnp.asarray(ratio, dtype),
+            jnp.asarray(phi, dtype),
+            jnp.asarray(c1, dtype),
+            jnp.asarray(c2, dtype),
+        )
+
+        x = x0.astype(dtype) * jnp.asarray(t[0], dtype)
+
+        def step(carry, inp):
+            x_cur, d_prev = carry
+            sigma_t, ratio, phi, c1, c2 = inp
+            sigma = jnp.full((b,), sigma_t, dtype=jnp.float32)
+            d = denoise_fn(x_cur, sigma, class_labels).astype(dtype)
+            d_hat = c1 * d + c2 * d_prev  # c2 = 0 on first/last steps
+            x_next = ratio * x_cur + phi * d_hat
+            return (x_next, d), ()
+
+        init = (x, jnp.zeros_like(x))
+        (x, _), _ = jax.lax.scan(step, init, tables)
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
 class StochasticSolver:
     """EDM stochastic sampler (Karras et al. 2022, Algorithm 2).
 

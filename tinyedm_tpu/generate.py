@@ -94,6 +94,7 @@ def generate(
     guidance_sigma_min: float = 0.0,
     guidance_sigma_max: float = float("inf"),
     model_parallel: int = 1,
+    solver_name: str = "heun",
 ) -> None:
     tune_for_tpu()
     spec, model, variables, _ = load_edm_from_checkpoint(
@@ -126,6 +127,11 @@ def generate(
               f"(multiple of the {n_data}-way data axis)")
     variables = place_variables(mesh, variables)
     stochastic = s_churn > 0
+    if stochastic and solver_name != "heun":
+        raise ValueError(
+            "--S_churn is the Heun stochastic sampler (EDM Algorithm 2); "
+            f"it does not compose with --solver {solver_name}"
+        )
     if stochastic:
         from tinyedm_tpu.diffusion.solver import StochasticSolver
 
@@ -133,8 +139,15 @@ def generate(
             num_steps=num_steps, dtype=solver_dtype,
             S_churn=s_churn, S_noise=s_noise, S_min=s_min, S_max=s_max,
         )
-    else:
+    elif solver_name == "dpmpp2m":
+        # DPM-Solver++(2M): one forward per step (Heun costs 2n-1)
+        from tinyedm_tpu.diffusion.solver import MultistepSolver
+
+        solver = MultistepSolver(num_steps=num_steps, dtype=solver_dtype)
+    elif solver_name == "heun":
         solver = DeterministicSolver(num_steps=num_steps, dtype=solver_dtype)
+    else:
+        raise ValueError(f"unknown solver {solver_name!r} (heun | dpmpp2m)")
     datamodule = RandomNoiseDataModule(
         batch_size=batch_size,
         num_workers=num_workers,
@@ -305,6 +318,12 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--guidance_sigma_max", type=float, default=float("inf"))
     parser.add_argument(
+        "--solver", type=str, default="heun", choices=["heun", "dpmpp2m"],
+        help="ODE sampler: 2nd-order Heun (reference, 2n-1 forwards) or "
+             "DPM-Solver++(2M) (order-2 multistep, n forwards — comparable "
+             "quality at roughly half the compute per image)",
+    )
+    parser.add_argument(
         "--model_parallel", type=int, default=1,
         help="tensor-parallel sampling: shard the weight-normed kernels "
              "over a model axis of this size (for models too large for one "
@@ -340,6 +359,7 @@ def main(argv=None) -> None:
         args.guidance_sigma_min,
         args.guidance_sigma_max,
         args.model_parallel,
+        args.solver,
     )
 
 
