@@ -63,6 +63,13 @@ def main() -> None:
         "then require guided sampling (scale 2, plain AND limited-interval) "
         "to sharpen per-class identity vs the unguided baseline",
     )
+    parser.add_argument(
+        "--solver", default="heun", choices=["heun", "dpmpp2m"],
+        help="sampler for the criterion: Heun (2n-1 forwards) or "
+        "DPM-Solver++(2M) (n forwards) — dpmpp2m must pass the same "
+        "class-identity bar, the learning-level evidence for the cheaper "
+        "sampler",
+    )
     args = parser.parse_args()
 
     import jax
@@ -132,7 +139,12 @@ def main() -> None:
           f"final loss {float(m['train_loss']):.4f}")
 
     # sample 64 per class with EMA weights
-    solver = DeterministicSolver(num_steps=18)
+    if args.solver == "dpmpp2m":
+        from tinyedm_tpu.diffusion.solver import MultistepSolver
+
+        solver = MultistepSolver(num_steps=18)
+    else:
+        solver = DeterministicSolver(num_steps=18)
     variables = {"params": state.ema[0], "constants": state.constants}
 
     @jax.jit
