@@ -216,6 +216,33 @@ def test_interval_guidance_inside_solver_scan():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6)
 
 
+def test_interval_guidance_inside_multistep_solver():
+    """The lax.cond gate must also compose with the DPM-Solver++(2M) scan
+    (one forward per step) — same masked-equivalent check as the Heun
+    test."""
+    from tinyedm_tpu.diffusion.solver import MultistepSolver
+
+    def denoise_fn(x, sigma, labels):
+        shift = (labels == NULL_LABEL).astype(jnp.float32).reshape(-1, 1, 1, 1)
+        return 0.9 * x + 0.3 * shift
+
+    scale, lo, hi = 2.0, 0.5, 5.0
+    solver = MultistepSolver(num_steps=5, sigma_min=0.01, sigma_max=20.0)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (3, 4, 4, 1))
+    labels = jnp.zeros((3,), jnp.int32)
+    fn = cfg_denoise_fn(denoise_fn, scale, interval=(lo, hi))
+    got = jax.jit(lambda x: solver.solve(fn, x, labels))(x0)
+
+    def gated_ref(x, sigma, labels):
+        g = cfg_denoise_fn(denoise_fn, scale)(x, sigma, labels)
+        p = denoise_fn(x, sigma, labels)
+        sig = sigma.reshape(-1)[0]
+        return jnp.where(jnp.logical_and(sig > lo, sig <= hi), g, p)
+
+    want = solver.solve(gated_ref, x0, labels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6)
+
+
 def test_drop_labels_statistics_and_passthrough():
     labels = jnp.zeros((4096,), jnp.int32)
     dropped = drop_labels(jax.random.PRNGKey(0), labels, 0.25)
