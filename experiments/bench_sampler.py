@@ -26,6 +26,7 @@ tune_for_tpu()
 
 
 def build(config: str):
+    from experiments._common import train_shapes
     from tinyedm_tpu.config.registry import instantiate, load_config
     from tinyedm_tpu.training.train_step import init_train_state
 
@@ -33,9 +34,7 @@ def build(config: str):
     spec = instantiate(cfg["model"])
     model = spec.build_model(inference_fast=True)
     base = spec.build_model()
-    dcfg = cfg["model"]["denoiser"]
-    size = {"cifar10": 32, "mnist": 28, "smoke": 16}.get(config, 32)
-    chans = int(dcfg.get("in_channels", 3))
+    size, chans, _, _ = train_shapes(cfg)
     img = jnp.zeros((8, size, size, chans), jnp.float32)
     state = init_train_state(
         jax.random.PRNGKey(0), base, img, spec.build_optimizer_config(), None

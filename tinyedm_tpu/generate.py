@@ -27,7 +27,6 @@ from tinyedm_tpu.diffusion.solver import DeterministicSolver
 from tinyedm_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
-    place_variables,
     process_local_slice,
     replicated,
     shard_batch,
@@ -125,7 +124,8 @@ def generate(
         batch_size = -(-batch_size // n_data) * n_data
         print(f"[generate] batch_size rounded up to {batch_size} "
               f"(multiple of the {n_data}-way data axis)")
-    variables = place_variables(mesh, variables)
+    var_shd = variables_shardings(mesh, variables)
+    variables = jax.device_put(variables, var_shd)
     stochastic = s_churn > 0
     if stochastic and solver_name != "heun":
         raise ValueError(
@@ -172,8 +172,10 @@ def generate(
         )
     if guide_model is not None and not guided:
         raise ValueError("--guide_ckpt_path needs --guidance_scale")
+    gvar_shd = rep
     if auto_guided:
-        guide_vars = place_variables(mesh, guide_vars)
+        gvar_shd = variables_shardings(mesh, guide_vars)
+        guide_vars = jax.device_put(guide_vars, gvar_shd)
     # limited-interval guidance: only wrap in the sigma gate when the
     # interval actually restricts something (default (0, inf) = always on)
     interval = None
@@ -216,13 +218,9 @@ def generate(
     # mesh, kernel-sharded under --model_parallel); gvars is None (an empty
     # pytree — sharding prefix vacuous) unless autoguidance loaded a second
     # model
-    gvar_shd = variables_shardings(mesh, guide_vars) if auto_guided else rep
     sample = jax.jit(
         _sample,
-        in_shardings=(
-            variables_shardings(mesh, variables), gvar_shd,
-            data_shd, data_shd, rep,
-        ),
+        in_shardings=(var_shd, gvar_shd, data_shd, data_shd, rep),
         out_shardings=data_shd,
     )
 

@@ -185,11 +185,6 @@ def state_shardings(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
     if not (zero1 or tp_on):
         return shardings
 
-    def param_leaf(path, x):
-        if tp_on and _is_kernel(path):
-            return NamedSharding(mesh, tp_param_spec(x.shape, tp))
-        return rep
-
     def opt_leaf(path, x):
         shape = getattr(x, "shape", ())
         base = (
@@ -206,7 +201,9 @@ def state_shardings(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
         return NamedSharding(mesh, P(*merged))
 
     return shardings.replace(
-        params=jax.tree_util.tree_map_with_path(param_leaf, state.params),
+        # params take exactly the sampling-path kernel layout (all-replicated
+        # when the model axis is trivial)
+        params=variables_shardings(mesh, state.params),
         opt_state=jax.tree_util.tree_map_with_path(opt_leaf, state.opt_state),
         ema=jax.tree_util.tree_map_with_path(opt_leaf, state.ema),
     )
