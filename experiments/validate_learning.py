@@ -70,6 +70,14 @@ def main() -> None:
         "class-identity bar, the learning-level evidence for the cheaper "
         "sampler",
     )
+    parser.add_argument(
+        "--autoguided", action="store_true",
+        help="learning-level autoguidance validation (Karras et al. 2024's "
+        "exact recipe: guide the trained model with a LESS-TRAINED snapshot "
+        "of the same run): capture the EMA at step 300, autoguide the final "
+        "model with it at scale 2, and require the class-identity margins "
+        "to hold vs the unguided baseline",
+    )
     args = parser.parse_args()
 
     import jax
@@ -129,10 +137,17 @@ def main() -> None:
     key = jax.random.PRNGKey(2)
     n_steps = 1500
     t0 = time.time()
+    guide_snapshot = None
     for i in range(n_steps):
         idx = rng.integers(0, len(images), batch_size)
         batch = (jnp.asarray(images[idx]), jnp.asarray(labels[idx]))
         state, m = step(state, batch, key, jnp.asarray(float(i)))
+        if args.autoguided and i == 300:
+            # the "bad version of itself": the same run's EMA, 1/5 trained.
+            # jnp.copy materializes fresh buffers — the step donates its
+            # input state, so a bare reference would be invalidated
+            guide_snapshot = jax.tree_util.tree_map(jnp.copy, state.ema[0])
+            jax.block_until_ready(guide_snapshot)
         if i % 300 == 0:
             print(f"step {i}: loss {float(m['train_loss']):.4f}", flush=True)
     print(f"trained {n_steps} steps in {time.time()-t0:.1f}s, "
@@ -207,6 +222,36 @@ def main() -> None:
                 ok &= good
                 print(
                     f"[{tag}] class {c}: own-sim {own:.3f} "
+                    f"(margin {margin:.3f} vs base {margin_base:.3f})  "
+                    f"[{'OK' if good else 'FAIL'}]"
+                )
+
+    if args.autoguided:
+        # learning-level autoguidance evidence: guide the final EMA model
+        # with its own 1/5-trained snapshot (two forwards per step, distinct
+        # weight trees — the CFG stacked-batch trick doesn't apply)
+        from tinyedm_tpu.diffusion.guidance import autoguidance_denoise_fn
+
+        guide_variables = {"params": guide_snapshot, "constants": state.constants}
+
+        def auto_samples(scale):
+            fn = autoguidance_denoise_fn(
+                lambda x, s, l: model.apply(variables, x, s, l),
+                lambda x, s, l: model.apply(guide_variables, x, s, l),
+                scale,
+            )
+            g = jax.jit(lambda x0, labs: solver.solve(fn, x0, labs))
+            return np.asarray(g(x0, labs))
+
+        for scale in (1.5, 2.0):
+            sims = class_sims(auto_samples(scale))
+            for c, (own, best_other) in enumerate(sims):
+                margin_base = base[c][0] - base[c][1]
+                margin = own - best_other
+                good = own > 0.9 and margin > margin_base - 0.02
+                ok &= good
+                print(
+                    f"[auto{scale}] class {c}: own-sim {own:.3f} "
                     f"(margin {margin:.3f} vs base {margin_base:.3f})  "
                     f"[{'OK' if good else 'FAIL'}]"
                 )
