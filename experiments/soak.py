@@ -101,7 +101,13 @@ def main() -> None:
     def draw_batch():
         cls = rng_np.integers(0, num_classes, args.batch)
         noise = rng_np.normal(scale=0.1, size=(args.batch, 32, 32, 3)).astype(np.float32)
-        return templates[cls] + noise
+        return templates[cls] + noise, cls.astype(np.int32)
+
+    # condition on the class labels iff the spec is conditional (cifar10 is:
+    # num_classes=10) — an earlier soak fed labels=None, silently training
+    # the unconditional graph and excluding the class-embedding/modulation
+    # path from the stability evidence
+    conditional = model.conditional
 
     state = init_train_state(
         jax.random.PRNGKey(args.seed),
@@ -109,6 +115,7 @@ def main() -> None:
         jnp.zeros((args.batch, 32, 32, 3)),
         opt_cfg,
         ema_cfg,
+        sample_labels=jnp.zeros((args.batch,), jnp.int32) if conditional else None,
     )
     step = jax.jit(make_train_step(model, diffuser, opt_cfg, ema_cfg), donate_argnums=0)
     key = jax.random.PRNGKey(args.seed + 1)
@@ -119,7 +126,8 @@ def main() -> None:
     t_start = time.time()
     t_warm = None
     for i in range(args.steps):
-        batch = (jnp.asarray(draw_batch()), None)
+        images, cls = draw_batch()
+        batch = (jnp.asarray(images), jnp.asarray(cls) if conditional else None)
         state, m = step(state, batch, key, jnp.asarray(float(i)))
         if i == 0:
             # host sync so warmup excludes compile time

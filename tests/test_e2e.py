@@ -362,19 +362,24 @@ def test_latents_generate_callback_without_vae(tmp_path):
 
 def test_generate_local_rows_multihost_split():
     """The multi-host write split: processes own disjoint, order-preserving
-    row sets; pad rows past n_valid are dropped; union covers 0..n-1."""
+    row sets; pad rows past n_valid are dropped; union covers 0..n-1.
+    local_rows returns offsets into the process's contiguous local block —
+    global position = local offset + pi * (batch/pc)."""
     from tinyedm_tpu.generate import local_rows
 
     batch, n_valid, pc = 8, 5, 4  # padded tail batch split over 4 processes
+    per = batch // pc
     indices = [100 + i for i in range(n_valid)]
     got = {}
     for pi in range(pc):
-        pos, idx = local_rows(batch, n_valid, indices, pi, pc)
-        assert list(pos) == sorted(pos)
-        for p, g in zip(pos, idx):
-            assert g == 100 + p
-            assert p not in got
-            got[p] = g
+        local_pos, idx = local_rows(batch, n_valid, indices, pi, pc)
+        assert list(local_pos) == sorted(local_pos)
+        assert all(0 <= p < per for p in local_pos)
+        for p, g in zip(local_pos, idx):
+            gpos = p + pi * per
+            assert g == 100 + gpos
+            assert gpos not in got
+            got[gpos] = g
     assert sorted(got.values()) == indices  # exact cover, no dupes, no pads
 
 
@@ -420,3 +425,35 @@ def test_generate_interval_without_scale_raises(tmp_path):
             num_channels=1,
             guidance_sigma_min=0.19,
         )
+    # scale 1 short-circuits to the unguided conditional path (no stacked
+    # forward) — and an interval alongside an explicit scale must NOT raise
+    out1 = tmp_path / "out_scale1"
+    generate(
+        ckpt_path=str(tmp_path / "run" / "checkpoints"),
+        load_ema=True,
+        output_dir=str(out1),
+        num_samples=2,
+        image_size=8,
+        num_classes=10,
+        batch_size=2,
+        num_steps=2,
+        num_channels=1,
+        guidance_scale=1.0,
+        guidance_sigma_min=0.19,
+    )
+    assert len(sorted(out1.glob("*.png"))) == 2
+    # scale 0 samples the unconditional branch with ONE forward
+    out0 = tmp_path / "out_scale0"
+    generate(
+        ckpt_path=str(tmp_path / "run" / "checkpoints"),
+        load_ema=True,
+        output_dir=str(out0),
+        num_samples=2,
+        image_size=8,
+        num_classes=10,
+        batch_size=2,
+        num_steps=2,
+        num_channels=1,
+        guidance_scale=0.0,
+    )
+    assert len(sorted(out0.glob("*.png"))) == 2

@@ -42,12 +42,17 @@ CIFAR10_STD = (0.24703223, 0.24348513, 0.26158784)
 
 
 def local_rows(batch_size: int, n_valid: int, indices, pi: int, pc: int):
-    """Multi-host write split: the (positions, global indices) this process
-    owns out of a padded global batch. Positions are the process-contiguous
-    rows shard_batch assigned; pad rows (>= n_valid) are dropped."""
+    """Multi-host write split: (local_offsets, global_indices) for the rows
+    this process owns out of a padded global batch. Local offsets index the
+    process's contiguous local block (as assembled by assemble_local_batch)
+    — the process-contiguity invariant (process pi owns global rows
+    [pi*bs/pc, (pi+1)*bs/pc), the same slice process_local_slice feeds)
+    lives entirely here. Pad rows (global position >= n_valid) are
+    dropped."""
+    per = batch_size // pc
     pos = process_local_slice(np.arange(batch_size), pi, pc)
-    keep = pos < n_valid
-    return pos[keep], [indices[int(k)] for k in pos[keep]]
+    kept = pos[pos < n_valid]
+    return kept - pi * per, [indices[int(k)] for k in kept]
 
 
 def assemble_local_batch(shard_pairs):
@@ -165,6 +170,12 @@ def generate(
 
     guided = guidance_scale is not None
     auto_guided = guided and guide_model is not None
+    if guided and not auto_guided and guidance_scale == 1.0:
+        # scale 1 IS the conditional model — skip the stacked 2B forward
+        # (the wrapper's d_u + 1*(d_c - d_u) also isn't bitwise d_c)
+        print("[generate] guidance_scale 1.0 = conditional model; "
+              "sampling unguided (no stacked forward)")
+        guided = False
     if guided and not auto_guided and not conditional:
         raise ValueError(
             "--guidance_scale needs a conditional model "
@@ -180,7 +191,7 @@ def generate(
     # interval actually restricts something (default (0, inf) = always on)
     interval = None
     if guidance_sigma_min > 0 or guidance_sigma_max != float("inf"):
-        if not guided:
+        if guidance_scale is None:
             raise ValueError(
                 "--guidance_sigma_min/--guidance_sigma_max need "
                 "--guidance_scale (an interval without a scale would "
@@ -203,6 +214,14 @@ def generate(
                 guidance_scale,
                 interval=interval,
             )
+        elif guided and guidance_scale == 0.0 and interval is None:
+            # scale 0 = fully unconditional: one null-label forward, no
+            # stacked batch needed
+            import jax.numpy as jnp
+
+            from tinyedm_tpu.diffusion.guidance import NULL_LABEL
+
+            fn = lambda x, s, l: denoise_fn(x, s, jnp.full_like(l, NULL_LABEL))  # noqa: E731
         elif guided:
             # classifier-free guidance: one stacked (2B) forward per
             # half-step, cond + null-label branches combined on-device
@@ -256,8 +275,8 @@ def generate(
                 (s.index[0].start or 0, np.asarray(s.data))
                 for s in xT.addressable_shards
             )
-            pos, idx = local_rows(batch_size, n, indices, pi, pc)
-            arr = arr[pos - pi * (batch_size // pc)]
+            local_pos, idx = local_rows(batch_size, n, indices, pi, pc)
+            arr = arr[local_pos]
         if len(idx):
             pending.append(pool.submit(writer.write_batch, arr, idx))
         done += n
