@@ -266,6 +266,47 @@ def test_generate_cli_roundtrip(tmp_path):
     assert len(sorted(ms_dir.glob("*.png"))) == 4
 
 
+def test_autoguidance_with_smaller_guide_architecture(tmp_path):
+    """Autoguidance's guide may be a DIFFERENT (smaller) architecture —
+    the two models carry separate specs and weight trees (guidance.py
+    docstring claim). Train a narrow guide and a wider main model, then
+    autoguide the main with the guide through the full CLI path."""
+    from tinyedm_tpu.generate import generate
+
+    def narrow_spec():
+        s = tiny_spec()
+        import dataclasses as dc
+        narrow = dc.replace(
+            s.denoiser,
+            encoder_out_channels=(8, 8),
+            decoder_out_channels=(8, 8, 8, 8),
+        )
+        return dc.replace(s, denoiser=narrow)
+
+    for name, sp in (("main", tiny_spec()), ("guide", narrow_spec())):
+        trainer = make_trainer(tmp_path / name, sp, max_epochs=1)
+        trainer.fit()
+        trainer.ckpt.wait()
+
+    out = tmp_path / "samples"
+    generate(
+        ckpt_path=str(tmp_path / "main" / "run" / "checkpoints"),
+        load_ema=True,
+        output_dir=str(out),
+        num_samples=4,
+        image_size=8,
+        num_classes=10,
+        batch_size=4,
+        num_steps=3,
+        num_channels=1,
+        mean=(0.5,),
+        std=(0.25,),
+        guidance_scale=1.8,
+        guide_ckpt_path=str(tmp_path / "guide" / "run" / "checkpoints"),
+    )
+    assert len(sorted(out.glob("*.png"))) == 4
+
+
 def test_validation_and_best_checkpoint(tmp_path):
     spec = tiny_spec(use_ema=False)
     trainer = make_trainer(tmp_path, spec, max_epochs=2)
