@@ -266,6 +266,21 @@ def test_generate_cli_roundtrip(tmp_path):
     assert len(sorted(ms_dir.glob("*.png"))) == 4
 
 
+def test_generate_callback_with_guidance(tmp_path):
+    """Training-time previews can sample with CFG (GenerateCallback
+    guidance_scale) — the natural preview mode for label-dropout runs."""
+    gen_cb = GenerateCallback(
+        DeterministicSolver(num_steps=3),
+        img_shape=(1, 8, 8), num_samples=4, every_n_epochs=1,
+        guidance_scale=2.0,
+    )
+    trainer = make_trainer(tmp_path, tiny_spec(), max_epochs=1, callbacks=[gen_cb])
+    trainer.fit()
+    assert list((tmp_path / "run" / "images").glob("*.png")), (
+        "guided GenerateCallback wrote no preview images"
+    )
+
+
 def test_autoguidance_with_smaller_guide_architecture(tmp_path):
     """Autoguidance's guide may be a DIFFERENT (smaller) architecture —
     the two models carry separate specs and weight trees (guidance.py

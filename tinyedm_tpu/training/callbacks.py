@@ -58,11 +58,14 @@ class GenerateCallback(Callback):
         img_shape: tuple[int, int, int],  # (C, H, W) — reference order preserved
         num_samples: int = 8,
         every_n_epochs: int = 5,
+        guidance_scale: Optional[float] = None,
     ):
         self.solver = solver
         self.img_shape = tuple(img_shape)
         self.num_samples = num_samples
         self.every_n_epochs = every_n_epochs
+        # CFG previews for label-dropout runs (needs a conditional model)
+        self.guidance_scale = guidance_scale
         self.x0: Optional[jnp.ndarray] = None
         self.class_labels: Optional[jnp.ndarray] = None
 
@@ -83,7 +86,10 @@ class GenerateCallback(Callback):
             return
         if trainer.epoch % self.every_n_epochs != 0:
             return
-        xT = trainer.solve(self.solver, self.x0, self.class_labels, use_ema=trainer.use_ema)
+        xT = trainer.solve(
+            self.solver, self.x0, self.class_labels, use_ema=trainer.use_ema,
+            guidance_scale=self.guidance_scale,
+        )
         images = trainer.datamodule.denormalize(np.asarray(xT))
         grid = make_grid(images)
         trainer.logger.log_image("Generated", grid, step=trainer.epoch)
@@ -105,7 +111,9 @@ class LatentsGenerateCallback(Callback):
         num_classes: int = 10,
         every_n_epochs: int = 100,
         vae_name: str = "stabilityai/sd-vae-ft-ema",
+        guidance_scale: Optional[float] = None,
     ):
+        self.guidance_scale = guidance_scale
         self.solver = solver
         self.img_shape = tuple(img_shape)
         self.mean = np.asarray(mean, np.float32)
@@ -146,7 +154,10 @@ class LatentsGenerateCallback(Callback):
             return
         if trainer.epoch % self.every_n_epochs != 0:
             return
-        xT = trainer.solve(self.solver, self.x0, self.class_labels, use_ema=trainer.use_ema)
+        xT = trainer.solve(
+            self.solver, self.x0, self.class_labels, use_ema=trainer.use_ema,
+            guidance_scale=self.guidance_scale,
+        )
         lat = np.asarray(xT) * self.std.reshape(1, 1, 1, -1) * 2.0 + self.mean.reshape(
             1, 1, 1, -1
         )

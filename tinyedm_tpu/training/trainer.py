@@ -294,13 +294,31 @@ class Trainer:
         return val_loss
 
     # ------------------------------------------------------------- generation
-    def solve(self, solver, x0, class_labels=None, use_ema: bool = False, ema_index: int = 0):
+    def solve(
+        self,
+        solver,
+        x0,
+        class_labels=None,
+        use_ema: bool = False,
+        ema_index: int = 0,
+        guidance_scale: Optional[float] = None,
+        guidance_interval: Optional[tuple] = None,
+    ):
         """Run the ODE sampler with current (or EMA) weights; jitted per
-        (solver config, conditional, use_ema) and cached."""
+        (solver config, conditional, use_ema, guidance) and cached.
+        ``guidance_scale`` applies classifier-free guidance (needs labels and
+        a label-dropout-trained model for a meaningful null branch);
+        ``guidance_interval`` restricts it to a sigma band."""
         assert self.state is not None
+        guided = guidance_scale is not None and guidance_scale != 1.0
+        if guided and class_labels is None:
+            raise ValueError("guidance_scale needs class labels")
         # DeterministicSolver is a frozen dataclass -> hashable value key
         # (id() keys can be recycled for short-lived solver objects)
-        key = (solver, class_labels is not None, use_ema, ema_index)
+        key = (
+            solver, class_labels is not None, use_ema, ema_index,
+            guidance_scale if guided else None, guidance_interval,
+        )
         if key not in self._solve_cache:
             # gradient-free path: Pallas attention kernel on TPU
             model = self.spec.build_model(inference_fast=True)
@@ -311,7 +329,14 @@ class Trainer:
                         {"params": params, "constants": constants}, x, sigma, lab
                     )
 
-                return solver.solve(denoise_fn, x0, labels)
+                fn = denoise_fn
+                if guided:
+                    from tinyedm_tpu.diffusion.guidance import cfg_denoise_fn
+
+                    fn = cfg_denoise_fn(
+                        denoise_fn, guidance_scale, interval=guidance_interval
+                    )
+                return solver.solve(fn, x0, labels)
 
             self._solve_cache[key] = jax.jit(sample)
         params = self.state.ema[ema_index] if (use_ema and self.state.ema) else self.state.params
