@@ -351,6 +351,41 @@ def test_preemption_interrupt_checkpoints_and_stops(tmp_path):
     assert trainer2.global_step == 8
 
 
+def test_midepoch_preemption_resume_is_bitwise_exact(tmp_path):
+    """A preemption save mid-epoch must NOT replay the consumed batches on
+    resume: the resumed run skips them (the epoch iterator still produces
+    them, keeping the deterministic shuffle/augment stream aligned) and ends
+    bitwise-identical to an uninterrupted run. The reference replays the
+    partial epoch from its start (duplicate training, drifted step count)."""
+    ref = make_trainer(tmp_path / "ref", tiny_spec(), max_epochs=2)
+    ref.fit()
+    assert ref.global_step == 8
+
+    trainer = make_trainer(tmp_path / "pre", tiny_spec(), max_epochs=2)
+    orig_batches = trainer.datamodule.train_batches
+
+    def interrupting_batches(epoch, **kw):
+        for i, b in enumerate(orig_batches(epoch, **kw)):
+            if epoch == 0 and i == 2:  # step 3 lands, then the loop stops
+                trainer._interrupted = True
+            yield b
+
+    trainer.datamodule.train_batches = interrupting_batches
+    trainer.fit()
+    assert trainer.global_step == 3  # stopped MID-epoch (4 steps/epoch)
+    assert trainer.ckpt.latest_step == 3
+
+    trainer2 = make_trainer(tmp_path / "pre", tiny_spec(), max_epochs=2)
+    trainer2.fit(resume=True)
+    assert trainer2.global_step == 8  # 3 saved + 1 remaining + epoch 1
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves((ref.state.params, ref.state.ema)),
+        jax.tree_util.tree_leaves((trainer2.state.params, trainer2.state.ema)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_small_val_set_produces_real_val_loss(tmp_path):
     """Regression: a val set smaller than one batch must still produce a
     nonzero val_loss (it used to be silently dropped, logging 0.0 — which

@@ -125,6 +125,10 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.epoch = 0
         self.global_step = 0
+        # batches of the CURRENT epoch already consumed before a mid-epoch
+        # checkpoint (preemption save): set on resume, cleared after the
+        # first resumed epoch realigns
+        self._skip_batches = 0
         # preemption safety (TPU pools send SIGTERM): finish the current
         # epoch's step, checkpoint, exit cleanly; `--resume` continues.
         # The reference has no preemption handling (SURVEY.md §5) — recovery
@@ -181,9 +185,23 @@ class Trainer:
         steps_per_epoch = self.datamodule.steps_per_epoch()
         if resume and self.ckpt.latest_step is not None:
             self.restore()
-            self.epoch = self.global_step // max(steps_per_epoch, 1)
+            spe = max(steps_per_epoch, 1)
+            self.epoch = self.global_step // spe
+            # mid-epoch checkpoint (preemption save): skip the consumed
+            # batches of the resumed epoch instead of replaying them — the
+            # epoch iterator still PRODUCES them (keeping the deterministic
+            # shuffle/augment rng stream aligned), so a resumed run is
+            # bitwise-identical to an uninterrupted one (tests/test_e2e.py).
+            # The reference replays the epoch from its start on such a resume.
+            self._skip_batches = self.global_step % spe
             self.logger.log_text(
-                "trainer", f"resumed at step {self.global_step} (epoch {self.epoch})"
+                "trainer",
+                f"resumed at step {self.global_step} (epoch {self.epoch}"
+                + (
+                    f", skipping {self._skip_batches} consumed batches)"
+                    if self._skip_batches
+                    else ")"
+                ),
             )
         if self.state is None:
             self.state = self._init_state()
@@ -198,7 +216,12 @@ class Trainer:
             t_epoch = time.time()
             n_samples = 0
             last_metrics = None
-            for images, labels in self.datamodule.train_batches(self.epoch):
+            skip, self._skip_batches = self._skip_batches, 0
+            for i, (images, labels) in enumerate(
+                self.datamodule.train_batches(self.epoch)
+            ):
+                if i < skip:  # consumed before the mid-epoch checkpoint
+                    continue
                 batch = shard_batch(self.mesh, (images, labels))
                 sched_count = (
                     self.epoch
