@@ -245,25 +245,21 @@ def generate(
 
     t0 = time.time()
     done = 0
-    # pipeline: device solves batch k+1 while host PNG-encodes batch k
-    # (the reference round-trips serially per batch, callbacks.py:153)
+    # two-level pipeline (the reference round-trips serially per batch,
+    # callbacks.py:153): one solve is always IN FLIGHT on the device while
+    # the host reads back the previous batch's result and PNG-encodes older
+    # ones in pool threads — jax dispatch is async, so blocking on batch k's
+    # device->host transfer only after batch k+1 is dispatched keeps the
+    # chip busy through the transfer + host noise generation.
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=8)
     pending = []
     churn_rng = jax.random.PRNGKey(seed ^ 0xC4A2)
     pc, pi = jax.process_count(), jax.process_index()
-    for batch_idx, (noise, labels, indices) in enumerate(datamodule.predict_batches()):
-        n = len(indices)
-        if n < batch_size:  # pad the tail batch: one compiled shape only
-            pad = batch_size - n
-            noise = np.concatenate([noise, noise[:1].repeat(pad, 0)])
-            labels = np.concatenate([labels, labels[:1].repeat(pad, 0)])
-        noise_d, labels_d = shard_batch(mesh, (noise, labels))
-        xT = sample(
-            variables, guide_vars, noise_d, labels_d,
-            jax.random.fold_in(churn_rng, batch_idx),
-        )
+
+    def drain(xT, n, indices):
+        nonlocal done
         if pc == 1:
             arr = np.asarray(xT)[:n]
             idx = indices
@@ -283,6 +279,24 @@ def generate(
         if done % (batch_size * 10) < batch_size:
             rate = done / (time.time() - t0)
             print(f"{done}/{num_samples} images ({rate:.1f} img/s)")
+
+    in_flight = None  # (device result, n_valid, indices)
+    for batch_idx, (noise, labels, indices) in enumerate(datamodule.predict_batches()):
+        n = len(indices)
+        if n < batch_size:  # pad the tail batch: one compiled shape only
+            pad = batch_size - n
+            noise = np.concatenate([noise, noise[:1].repeat(pad, 0)])
+            labels = np.concatenate([labels, labels[:1].repeat(pad, 0)])
+        noise_d, labels_d = shard_batch(mesh, (noise, labels))
+        xT = sample(
+            variables, guide_vars, noise_d, labels_d,
+            jax.random.fold_in(churn_rng, batch_idx),
+        )
+        if in_flight is not None:
+            drain(*in_flight)  # blocks on batch k while k+1 runs
+        in_flight = (xT, n, indices)
+    if in_flight is not None:
+        drain(*in_flight)
     for f in pending:
         f.result()
     pool.shutdown()
