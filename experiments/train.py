@@ -110,6 +110,10 @@ def main(argv=None) -> None:
         # tensor parallelism: reshape the mesh to (devices/N, N) and shard
         # every weight-normed kernel's output channels over ``model``
         model_parallel=int(tcfg.get("model_parallel", 1)),
+        # ship uint8 + flip flags and normalize/flip inside the jitted step
+        # (uint8 datamodules only; inputs match the host pipeline to 1 ulp —
+        # see trainer.py and docs/PERFORMANCE.md for the measured gain)
+        device_preprocess=bool(tcfg.get("device_preprocess", False)),
     )
     print(f"devices: {jax.devices()}")
     trainer.fit(resume=args.resume)

@@ -119,6 +119,22 @@ class TestCIFAR10:
         b = next(dm.train_batches(epoch=3))[0]
         np.testing.assert_array_equal(a, b)
 
+    def test_raw_batches_match_host_pipeline_bitwise(self, cifar_dir):
+        """The raw path (uint8 + flip flags, for trainer device_preprocess)
+        must reproduce the host pipeline's f32 batches bitwise when the same
+        normalize/flip math is applied — the two paths share one rng stream."""
+        dm = CIFAR10DataModule(batch_size=16, data_dir=str(cifar_dir))
+        dm.setup()
+        assert dm.raw_uint8 and dm.raw_flip
+        for (host_imgs, host_lab), (u8, flags, lab) in zip(
+            dm.train_batches(epoch=2), dm.train_batches_raw(epoch=2)
+        ):
+            assert u8.dtype == np.uint8 and flags.dtype == np.bool_
+            x = (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+            x[flags] = x[flags, :, ::-1]
+            np.testing.assert_array_equal(x, host_imgs)
+            np.testing.assert_array_equal(lab, host_lab)
+
 
 class TestRandomNoise:
     def test_batches(self):

@@ -52,8 +52,28 @@ class AbstractDataModule:
         return int(self.train_labels.max()) + 1
 
     # -- iteration ---------------------------------------------------------
+    # uint8 [0,255] sources (MNIST/CIFAR) support the raw-batch path: the
+    # host ships uint8 + flip flags and the jitted train step normalizes /
+    # flips on device — 4x less host->device traffic and no host float pass,
+    # with bitwise-identical f32 inputs (trainer ``device_preprocess``).
+    raw_uint8 = False
+    # whether the raw path carries per-sample horizontal-flip flags (static:
+    # decides at trace time if the step compiles the flip select at all)
+    raw_flip = False
+
+    def _flip_flags(self, n: int, rng: np.random.Generator) -> Optional[np.ndarray]:
+        """Per-sample hflip decisions; None = no flip augmentation. Drawn
+        identically by the host (_augment) and raw paths so both consume the
+        same rng stream — the two pipelines yield bitwise-equal batches."""
+        return None
+
     def _augment(self, images: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        return images
+        flip = self._flip_flags(len(images), rng)
+        if flip is None:
+            return images
+        out = images.copy()
+        out[flip] = out[flip, :, ::-1]
+        return out
 
     def _normalize(self, images: np.ndarray) -> np.ndarray:
         x = images.astype(np.float32) / 255.0
@@ -76,6 +96,27 @@ class AbstractDataModule:
             idx = order[start : start + self.batch_size]
             images = self._augment(self.train_images[idx], rng)
             yield self._normalize(images), self.train_labels[idx].astype(np.int32)
+
+    def train_batches_raw(
+        self, epoch: int, drop_last: bool = True
+    ) -> Iterator[tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
+        """Shuffled (uint8 images, flip flags or None, labels) batches —
+        the raw-path twin of ``train_batches``: same shuffle order, same rng
+        stream, augmentation deferred to the device. Only valid when
+        ``raw_uint8`` (callers check)."""
+        assert self.raw_uint8, "train_batches_raw needs a uint8 source"
+        assert self.train_images is not None, "call setup() first"
+        assert self.train_images.dtype == np.uint8
+        rng = np.random.default_rng((self.seed, epoch))
+        n = len(self.train_images)
+        order = rng.permutation(n)
+        stop = n - n % self.batch_size if drop_last else n
+        for start in range(0, stop, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            flags = self._flip_flags(len(idx), rng)
+            yield self.train_images[idx], flags, self.train_labels[idx].astype(
+                np.int32
+            )
 
     def val_batches(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Full-size batches plus the tail (the tail costs one extra jit
@@ -160,6 +201,8 @@ class MNISTDataModule(AbstractDataModule):
         self.val_images = _resize_batch(vi, self.image_size)
         self.val_labels = _load_idx(self._find(self.FILES["val_labels"]))
 
+    raw_uint8 = True
+
     def denormalize(self, x: np.ndarray) -> np.ndarray:
         # reference: (x*127.5 + 128).clip(0,255).uint8 (mnistdatamodule.py:47-48)
         return (np.asarray(x) * 127.5 + 128).clip(0, 255).astype(np.uint8)
@@ -214,11 +257,11 @@ class CIFAR10DataModule(AbstractDataModule):
         self.val_images = _resize_batch(vi, self.image_size)
         self.val_labels = vl
 
-    def _augment(self, images: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        flip = rng.random(len(images)) < 0.5
-        out = images.copy()
-        out[flip] = out[flip, :, ::-1]
-        return out
+    raw_uint8 = True
+    raw_flip = True
+
+    def _flip_flags(self, n: int, rng: np.random.Generator) -> np.ndarray:
+        return rng.random(n) < 0.5
 
     def denormalize(self, x: np.ndarray) -> np.ndarray:
         return (np.asarray(x) * 127.5 + 128).clip(0, 255).astype(np.uint8)
@@ -333,6 +376,8 @@ class RandomNoiseDataModule:
 class SyntheticDataModule(AbstractDataModule):
     """Random "images" for benchmarks and tests — no dataset required;
     throughput does not depend on pixel content."""
+
+    raw_uint8 = True  # uint8 source: supports trainer device_preprocess
 
     def __init__(
         self,
