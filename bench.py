@@ -28,6 +28,12 @@ BATCH = 256
 SAMPLE_BATCH = 128
 WARMUP = 3
 ITERS = 20
+# median over several timing passes: a single 20-iter mean is exposed to
+# transient host/tunnel noise (a concurrent host process or one slow tunnel
+# round-trip moves it ~1 ms); the median of independent passes estimates
+# sustained device throughput robustly. Per-pass sync overhead (one host
+# read per ITERS steps) is identical to the single-pass form.
+PASSES = 5
 
 A100_BF16_FLOPS = 312e12
 ASSUMED_A100_MFU = 0.40
@@ -78,14 +84,16 @@ def bench_train(state, step, batch):
     for _ in range(WARMUP):
         state, metrics = compiled(state, batch, key, sched)
     float(metrics["train_loss"])  # host read: drain the dispatch pipeline
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = compiled(state, batch, key, sched)
-    # sync via host read of a step output (block_until_ready alone has been
-    # observed to return early over the device tunnel)
-    assert np.isfinite(float(metrics["train_loss"]))
-    dt = (time.perf_counter() - t0) / ITERS
-    return dt, state, flops
+    times = []
+    for _ in range(PASSES):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, metrics = compiled(state, batch, key, sched)
+        # sync via host read of a step output (block_until_ready alone has
+        # been observed to return early over the device tunnel)
+        assert np.isfinite(float(metrics["train_loss"]))
+        times.append((time.perf_counter() - t0) / ITERS)
+    return float(np.median(times)), state, flops
 
 
 def bench_sampler(model, state, spec=None):
@@ -105,13 +113,15 @@ def bench_sampler(model, state, spec=None):
 
     x0 = jax.random.normal(jax.random.PRNGKey(2), (SAMPLE_BATCH, 32, 32, 3))
     float(sample(x0).sum())  # compile + drain
-    t0 = time.perf_counter()
-    n = 3
-    for _ in range(n):
-        out = sample(x0)
-    float(out.sum())  # host read sync
-    dt = (time.perf_counter() - t0) / n
-    return SAMPLE_BATCH / dt
+    times = []
+    for _ in range(3):  # median of 3 passes (same noise argument as training)
+        t0 = time.perf_counter()
+        n = 3
+        for _ in range(n):
+            out = sample(x0)
+        float(out.sum())  # host read sync
+        times.append((time.perf_counter() - t0) / n)
+    return SAMPLE_BATCH / float(np.median(times))
 
 
 def main() -> None:
