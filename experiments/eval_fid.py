@@ -9,6 +9,9 @@ Usage:
   # evaluate a checkpoint
   python experiments/eval_fid.py score --ckpt_path runs/cifar10/checkpoints \
       --stats cifar_stats.npz --num_samples 50000 --load_ema
+  # --kid additionally reports Kernel Inception Distance (Binkowski et al.
+  # 2018) from feature rows stored in the stats file — unbiased at small
+  # sample counts, where FID's covariance estimate misleads
 
 Needs an Inception feature extractor (torchvision weights) or any
 ``--features`` plugin module exposing ``feature_fn()``; neither network
@@ -56,7 +59,7 @@ def _feature_fn(spec: str | None):
 
 def cmd_stats(args) -> None:
     from tinyedm_tpu.data.datamodules import CIFAR10DataModule
-    from tinyedm_tpu.utils.fid import compute_stats, save_stats
+    from tinyedm_tpu.utils.fid import compute_stats_and_features, save_stats
 
     dm = CIFAR10DataModule(batch_size=args.batch_size, data_dir=args.data_dir)
     dm.setup()
@@ -66,9 +69,14 @@ def cmd_stats(args) -> None:
         for start in range(0, len(dm.train_images), args.batch_size):
             yield dm.train_images[start : start + args.batch_size]
 
-    mu, sigma = compute_stats(batches(), feature_fn)
-    save_stats(args.out, mu, sigma)
-    print(f"wrote stats ({len(mu)}-d {kind} features) to {args.out}")
+    # keep a raw feature subsample so `score --kid` works against this file
+    # (kid_features 0 disables, for minimal stats files)
+    mu, sigma, feats = compute_stats_and_features(
+        batches(), feature_fn, max_features=args.kid_features or None
+    )
+    save_stats(args.out, mu, sigma, features=feats if args.kid_features else None)
+    kid_note = f" + {len(feats)} KID rows" if args.kid_features else ""
+    print(f"wrote stats ({len(mu)}-d {kind} features{kid_note}) to {args.out}")
 
 
 def cmd_score(args) -> None:
@@ -102,11 +110,39 @@ def cmd_score(args) -> None:
             solver_name=args.solver,
         )
     feature_fn, kind = _feature_fn(args.features)
-    mu1, s1 = compute_stats(png_dir_batches(sample_dir, args.batch_size), feature_fn)
+    tag = "" if kind == "inception" else f"[{kind}]"
+    if args.kid:
+        from tinyedm_tpu.utils.fid import (
+            compute_stats_and_features,
+            kid_score,
+            load_features,
+        )
+
+        ref_feats = load_features(args.stats)
+        if ref_feats is None:
+            raise SystemExit(
+                f"{args.stats} has no stored feature rows - regenerate it "
+                "with `stats --kid-features N` to enable KID"
+            )
+        mu1, s1, sample_feats = compute_stats_and_features(
+            png_dir_batches(sample_dir, args.batch_size),
+            feature_fn,
+            max_features=max(args.kid_subset_size, len(ref_feats)),
+        )
+    else:
+        mu1, s1 = compute_stats(png_dir_batches(sample_dir, args.batch_size), feature_fn)
     mu2, s2 = load_stats(args.stats)
     fid = frechet_distance(mu1, s1, mu2, s2)
-    label = "FID" if kind == "inception" else f"FID[{kind}]"
-    print(f"{label}: {fid:.3f}")
+    print(f"FID{tag}: {fid:.3f}")
+    if args.kid:
+        kid = kid_score(
+            sample_feats,
+            ref_feats,
+            subset_size=args.kid_subset_size,
+            num_subsets=args.kid_subsets,
+        )
+        # reported x 10^3 by convention (Binkowski et al. 2018)
+        print(f"KID{tag}: {kid * 1e3:.4f} (x1e-3)")
 
 
 def main(argv=None) -> None:
@@ -118,6 +154,9 @@ def main(argv=None) -> None:
     ps.add_argument("--out", required=True)
     ps.add_argument("--batch-size", type=int, default=256)
     ps.add_argument("--features", default=None, help="module exposing feature_fn()")
+    ps.add_argument("--kid-features", type=int, default=10000,
+                    help="store a raw feature subsample of this many rows so "
+                    "`score --kid` works against this stats file (0 disables)")
     ps.set_defaults(fn=cmd_stats)
 
     pc = sub.add_parser("score", help="generate + score a checkpoint")
@@ -145,6 +184,11 @@ def main(argv=None) -> None:
     pc.add_argument("--guidance_sigma_max", type=float, default=float("inf"))
     pc.add_argument("--solver", default="heun", choices=["heun", "dpmpp2m"],
                     help="heun (reference, 2n-1 forwards) | dpmpp2m (n forwards)")
+    pc.add_argument("--kid", action="store_true",
+                    help="also report Kernel Inception Distance (unbiased at "
+                    "small sample counts; needs stats saved with --kid-features)")
+    pc.add_argument("--kid_subset_size", type=int, default=1000)
+    pc.add_argument("--kid_subsets", type=int, default=100)
     pc.set_defaults(fn=cmd_score)
 
     args = p.parse_args(argv)

@@ -70,6 +70,142 @@ class TestFID:
         assert diff > 100  # offset by 64 per pixel
 
 
+class TestKID:
+    """Kernel Inception Distance (utils/fid.py::kid_score) — unbiased MMD^2
+    with the polynomial kernel, the standard small-sample complement to FID."""
+
+    def test_matches_naive_double_loop(self):
+        """One full-set subset (m = n, permutation-invariant kernel sums)
+        must equal the textbook O(n^2) unbiased estimator computed directly."""
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((40, 6))
+        y = rng.standard_normal((40, 6)) + 0.5
+        from tinyedm_tpu.utils.fid import kid_score
+
+        got = kid_score(x, y, subset_size=40, num_subsets=1)
+        d = x.shape[1]
+        k = lambda a, b: (a @ b / d + 1.0) ** 3
+        m = len(x)
+        sxx = sum(k(x[i], x[j]) for i in range(m) for j in range(m) if i != j)
+        syy = sum(k(y[i], y[j]) for i in range(m) for j in range(m) if i != j)
+        sxy = sum(k(x[i], y[j]) for i in range(m) for j in range(m))
+        want = sxx / (m * (m - 1)) + syy / (m * (m - 1)) - 2.0 * sxy / m**2
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_same_distribution_near_zero_and_ordering(self):
+        rng = np.random.default_rng(1)
+        a1 = rng.standard_normal((800, 8))
+        a2 = rng.standard_normal((800, 8))
+        b = rng.standard_normal((800, 8)) + 1.0
+        from tinyedm_tpu.utils.fid import kid_score
+
+        same = kid_score(a1, a2, subset_size=200, num_subsets=20)
+        diff = kid_score(a1, b, subset_size=200, num_subsets=20)
+        # unbiased: same-distribution estimate straddles 0
+        assert abs(same) < 0.05
+        assert diff > 10 * max(same, 0.0) and diff > 0.5
+
+    def test_stats_and_features_single_pass(self):
+        """compute_stats_and_features must reproduce compute_stats' moments
+        exactly and cap the reservoir at max_features rows drawn from the
+        input."""
+        rng = np.random.default_rng(2)
+        f = rng.standard_normal((500, 5)).astype(np.float32)
+        from tinyedm_tpu.utils.fid import compute_stats_and_features
+
+        mu_a, s_a = compute_stats([f[:200], f[200:]])
+        mu_b, s_b, feats = compute_stats_and_features(
+            [f[:200], f[200:]], max_features=64
+        )
+        np.testing.assert_allclose(mu_a, mu_b, rtol=1e-12)
+        np.testing.assert_allclose(s_a, s_b, rtol=1e-12)
+        assert feats.shape == (64, 5)
+        # every reservoir row is a row of the input
+        matches = (feats[:, None, :] == f[None, :, :]).all(-1).any(-1)
+        assert matches.all()
+
+    def test_features_io_roundtrip_and_absent(self, tmp_path):
+        from tinyedm_tpu.utils.fid import load_features
+
+        mu, s = np.ones(3), np.eye(3)
+        feats = np.arange(12, dtype=np.float32).reshape(4, 3)
+        save_stats(tmp_path / "with.npz", mu, s, features=feats)
+        save_stats(tmp_path / "without.npz", mu, s)
+        np.testing.assert_array_equal(load_features(tmp_path / "with.npz"), feats)
+        assert load_features(tmp_path / "without.npz") is None
+
+    def test_cli_score_kid(self, tmp_path):
+        """eval_fid score --kid: stats stores feature rows, score prints a KID
+        line, and the shifted sample dir orders worse than the matched one."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
+        import io
+        import pickle
+        from contextlib import redirect_stdout
+
+        import eval_fid
+        from PIL import Image
+
+        rng = np.random.default_rng(3)
+        base = tmp_path / "cifar10" / "cifar-10-batches-py"
+        base.mkdir(parents=True)
+        for i in range(1, 6):
+            data = rng.integers(0, 256, (20, 3 * 32 * 32), dtype=np.uint8)
+            with open(base / f"data_batch_{i}", "wb") as f:
+                pickle.dump({b"data": data, b"labels": list(rng.integers(0, 10, 20))}, f)
+        with open(base / "test_batch", "wb") as f:
+            pickle.dump({b"data": data, b"labels": list(rng.integers(0, 10, 20))}, f)
+        stats = tmp_path / "stats.npz"
+        eval_fid.main([
+            "stats", "--data-dir", str(tmp_path / "cifar10"), "--out", str(stats),
+            "--features", "tests.fake_features", "--batch-size", "32",
+            "--kid-features", "80",
+        ])
+        from tinyedm_tpu.utils.fid import load_features
+
+        assert load_features(stats) is not None
+
+        imgs = rng.integers(0, 256, (40, 32, 32, 3), dtype=np.uint8)
+        kids = {}
+        for name, off in (("same", 0), ("shifted", 100)):
+            sdir = tmp_path / name
+            sdir.mkdir()
+            for i, im in enumerate(imgs):
+                arr = np.clip(im.astype(int) + off, 0, 255).astype(np.uint8)
+                Image.fromarray(arr).save(sdir / f"{i}.png")
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                eval_fid.main([
+                    "score", "--ckpt_path", "unused", "--stats", str(stats),
+                    "--sample_dir", str(sdir), "--skip_generate",
+                    "--features", "tests.fake_features", "--batch_size", "32",
+                    "--kid", "--kid_subset_size", "40", "--kid_subsets", "10",
+                ])
+            out = buf.getvalue()
+            assert "KID[tests.fake_features]:" in out
+            kid_line = [l for l in out.splitlines() if l.startswith("KID")][0]
+            kids[name] = float(kid_line.split(":")[1].split("(")[0])
+        assert kids["same"] < kids["shifted"] / 5, kids
+
+    def test_cli_score_kid_requires_features(self, tmp_path):
+        """A stats file written without feature rows must fail loudly."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
+        import eval_fid
+
+        save_stats(tmp_path / "s.npz", np.ones(3), np.eye(3))
+        with pytest.raises(SystemExit, match="kid-features"):
+            eval_fid.main([
+                "score", "--ckpt_path", "unused", "--stats", str(tmp_path / "s.npz"),
+                "--sample_dir", str(tmp_path), "--skip_generate", "--kid",
+                "--features", "tests.fake_features",
+            ])
+
+
 class TestPosthocEMAEndToEnd:
     @pytest.mark.slow
     def test_reconstruct_cli(self, tmp_path):

@@ -48,6 +48,89 @@ def compute_stats(
     return mu, sigma
 
 
+def compute_stats_and_features(
+    features_or_batches,
+    feature_fn: Optional[FeatureFn] = None,
+    max_features: Optional[int] = None,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Single streaming pass returning (mu, sigma, features): the FID moments
+    plus a uniform random subsample of up to ``max_features`` raw feature rows
+    (reservoir sampling, deterministic under ``seed``) for KID — 50k x 2048
+    never needs to be resident unless max_features asks for it."""
+    rng = np.random.default_rng(seed)
+    n = 0
+    s = None
+    ss = None
+    reservoir: list[np.ndarray] = []
+    it = features_or_batches
+    if isinstance(it, np.ndarray):
+        it = [it]
+    for batch in it:
+        f = np.asarray(feature_fn(batch) if feature_fn is not None else batch)
+        f64 = f.astype(np.float64)
+        if s is None:
+            s = np.zeros(f64.shape[1])
+            ss = np.zeros((f64.shape[1], f64.shape[1]))
+        s += f64.sum(axis=0)
+        ss += f64.T @ f64
+        for row in f.astype(np.float32):
+            n += 1
+            if max_features is None or len(reservoir) < max_features:
+                reservoir.append(row)
+            else:
+                # Algorithm R: row n replaces a kept row with prob max/n
+                j = int(rng.integers(0, n))
+                if j < max_features:
+                    reservoir[j] = row
+    if n < 2:
+        raise ValueError("need at least 2 samples for covariance")
+    mu = s / n
+    sigma = (ss - n * np.outer(mu, mu)) / (n - 1)
+    return mu, sigma, np.stack(reservoir)
+
+
+def kid_score(
+    feats1: np.ndarray,
+    feats2: np.ndarray,
+    subset_size: int = 1000,
+    num_subsets: int = 100,
+    seed: int = 0,
+) -> float:
+    """Kernel Inception Distance (Binkowski et al. 2018, "Demystifying MMD
+    GANs"): squared MMD between feature sets under the polynomial kernel
+    k(x, y) = (x.y / d + 1)^3, using the UNBIASED estimator averaged over
+    ``num_subsets`` random subsets of ``subset_size`` rows from each set —
+    the standard evaluation protocol. Unlike FID, the estimator has no
+    sample-count bias, which makes it usable at a few thousand samples where
+    FID's covariance estimate is unreliable. Values are typically reported
+    x 10^3; this returns the raw mean estimate (can be slightly negative at
+    small n — that is the unbiasedness, not a bug)."""
+    f1 = np.asarray(feats1, np.float64)
+    f2 = np.asarray(feats2, np.float64)
+    d = f1.shape[1]
+    if f2.shape[1] != d:
+        raise ValueError(f"feature dims differ: {d} vs {f2.shape[1]}")
+    m = min(subset_size, len(f1), len(f2))
+    if m < 2:
+        raise ValueError("need at least 2 samples per set for unbiased MMD")
+    rng = np.random.default_rng(seed)
+    total = 0.0
+    for _ in range(num_subsets):
+        x = f1[rng.choice(len(f1), m, replace=False)]
+        y = f2[rng.choice(len(f2), m, replace=False)]
+        kxx = (x @ x.T / d + 1.0) ** 3
+        kyy = (y @ y.T / d + 1.0) ** 3
+        kxy = (x @ y.T / d + 1.0) ** 3
+        off = m * (m - 1)
+        total += (
+            (kxx.sum() - np.trace(kxx)) / off
+            + (kyy.sum() - np.trace(kyy)) / off
+            - 2.0 * kxy.mean()
+        )
+    return float(total / num_subsets)
+
+
 def _sqrtm_psd(mat: np.ndarray) -> np.ndarray:
     """Matrix square root via eigendecomposition (symmetric PSD up to noise)."""
     vals, vecs = np.linalg.eigh(mat)
@@ -71,13 +154,28 @@ def frechet_distance(
     return max(fid, 0.0)
 
 
-def save_stats(path: str | Path, mu: np.ndarray, sigma: np.ndarray) -> None:
-    np.savez(path, mu=mu, sigma=sigma)
+def save_stats(
+    path: str | Path,
+    mu: np.ndarray,
+    sigma: np.ndarray,
+    features: Optional[np.ndarray] = None,
+) -> None:
+    """Save FID reference stats; ``features`` (a raw feature subsample from
+    compute_stats_and_features) additionally enables KID scoring."""
+    extra = {} if features is None else {"features": np.asarray(features, np.float32)}
+    np.savez(path, mu=mu, sigma=sigma, **extra)
 
 
 def load_stats(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     d = np.load(path)
     return d["mu"], d["sigma"]
+
+
+def load_features(path: str | Path) -> Optional[np.ndarray]:
+    """The raw feature subsample stored alongside stats (None if the file
+    predates KID support or was written without features)."""
+    d = np.load(path)
+    return d["features"] if "features" in d.files else None
 
 
 def png_dir_batches(
