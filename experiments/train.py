@@ -100,6 +100,10 @@ def main(argv=None) -> None:
         ckpt_every_n_epochs=ckpt_cfg.get("every_n_epochs", 100),
         ckpt_top_k=ckpt_cfg.get("save_top_k", 3),
         ckpt_save_last=ckpt_cfg.get("save_last", True),
+        # lightning ModelCheckpoint monitor/mode parity; monitor: fid selects
+        # by the FIDCallback's sample-quality series instead of val_loss
+        ckpt_monitor=ckpt_cfg.get("monitor", "val_loss"),
+        ckpt_mode=ckpt_cfg.get("mode", "min"),
         log_every_n_steps=tcfg.get("log_every_n_steps", 50),
         seed=seed,
         config={"model": deinstantiate(spec), "seed": seed},

@@ -52,7 +52,7 @@ def tiny_spec(use_ema=True):
 
 def make_trainer(
     tmp_path, spec, max_epochs=2, callbacks=(), zero1=False, model_parallel=1,
-    device_preprocess=False, dm=None,
+    device_preprocess=False, dm=None, **kw,
 ):
     dm = dm or SyntheticDataModule(
         batch_size=16, image_size=8, num_channels=1, num_samples=64
@@ -71,6 +71,7 @@ def make_trainer(
         zero1=zero1,
         model_parallel=model_parallel,
         device_preprocess=device_preprocess,
+        **kw,
     )
 
 
@@ -586,3 +587,206 @@ def test_generate_interval_without_scale_raises(tmp_path):
         guidance_scale=0.0,
     )
     assert len(sorted(out0.glob("*.png"))) == 2
+
+
+def test_fid_callback_tracks_metrics_and_selects_checkpoints(tmp_path):
+    """Training-time FID/KID tracking (FIDCallback): metrics.jsonl gains
+    fid/kid series and top-k checkpoint selection can monitor them
+    (checkpoint_callback.monitor: fid) — the EDM2 select-by-sample-quality
+    workflow the reference's val_loss-only retention lacks."""
+    import json
+
+    from tinyedm_tpu.training.callbacks import FIDCallback
+    from tinyedm_tpu.utils.fid import compute_stats_and_features, save_stats
+    import tests.fake_features as ff
+
+    dm = SyntheticDataModule(
+        batch_size=16, image_size=8, num_channels=1, num_samples=64
+    )
+    fn = ff.feature_fn()
+    mu, sigma, feats = compute_stats_and_features(
+        [dm.train_images], fn, max_features=64
+    )
+    stats = tmp_path / "stats.npz"
+    save_stats(stats, mu, sigma, features=feats)
+
+    cb = FIDCallback(
+        solver=DeterministicSolver(num_steps=2),
+        img_shape=(1, 8, 8),
+        stats_path=str(stats),
+        num_samples=12,
+        batch_size=8,
+        every_n_epochs=1,
+        features="tests.fake_features",
+        kid=True,
+        kid_subset_size=12,
+        kid_subsets=5,
+    )
+    trainer = make_trainer(
+        tmp_path, tiny_spec(), max_epochs=2, callbacks=[cb], dm=dm,
+        ckpt_monitor="fid",
+    )
+    trainer.fit()
+    trainer.ckpt.wait()
+
+    rows = [
+        json.loads(l)
+        for l in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+    ]
+    fid_rows = [r for r in rows if "fid" in r]
+    assert len(fid_rows) >= 2  # every epoch at every_n_epochs=1
+    assert all(np.isfinite(r["fid"]) and r["fid"] >= 0 for r in fid_rows)
+    assert all("kid" in r and np.isfinite(r["kid"]) for r in fid_rows)
+    # the fid metric reached checkpoint selection
+    assert trainer.ckpt.best_step is not None
+
+
+def test_fid_callback_kid_without_features_fails_at_start(tmp_path):
+    from tinyedm_tpu.training.callbacks import FIDCallback
+    from tinyedm_tpu.utils.fid import save_stats
+
+    stats = tmp_path / "stats.npz"
+    save_stats(stats, np.ones(3), np.eye(3))  # no feature rows
+    cb = FIDCallback(
+        solver=DeterministicSolver(num_steps=2),
+        img_shape=(1, 8, 8),
+        stats_path=str(stats),
+        kid=True,
+    )
+    trainer = make_trainer(tmp_path, tiny_spec(), max_epochs=1, callbacks=[cb])
+    with pytest.raises(ValueError, match="kid-features"):
+        trainer.fit()
+
+
+def test_eval_fid_sweep_cli(tmp_path, capsys):
+    """eval_fid sweep: scores every checkpoint step in one run and reports
+    the best — checkpoint selection by sample quality after training."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
+    import eval_fid
+
+    from tinyedm_tpu.utils.fid import compute_stats_and_features, save_stats
+    import tests.fake_features as ff
+
+    # 3-channel model so PNG round-trip (convert("RGB")) keeps feature dims
+    spec = tiny_spec()
+    spec = EDMSpec(
+        diffuser=spec.diffuser,
+        embedding=spec.embedding,
+        denoiser=Denoiser(
+            in_channels=3,
+            out_channels=3,
+            embedding_dim=16,
+            num_heads=2,
+            sigma_data=0.5,
+            encoder_block_types=("Enc", "EncD"),
+            decoder_block_types=("Dec", "DecU", "Dec", "Dec"),
+            encoder_out_channels=(8, 16),
+            decoder_out_channels=(16, 8, 8, 8),
+            skip_connections=(True, False, True, True),
+            dtype=jnp.bfloat16,
+        ),
+        use_ema=spec.use_ema,
+        ema_length=0.13,
+        lr=1e-3,
+        rampup_steps=2,
+        steady_steps=4,
+        scheduler_interval="epoch",
+    )
+    dm = SyntheticDataModule(
+        batch_size=16, image_size=8, num_channels=3, num_samples=32
+    )
+    trainer = make_trainer(tmp_path, spec, max_epochs=2, dm=dm)
+    trainer.fit()
+    trainer.ckpt.wait()
+    steps = sorted(
+        int(p.name)
+        for p in (tmp_path / "run" / "checkpoints").iterdir()
+        if p.is_dir() and p.name.isdigit()
+    )
+    assert len(steps) >= 2
+
+    mu, sigma, feats = compute_stats_and_features(
+        [dm.train_images], ff.feature_fn(), max_features=32
+    )
+    stats = tmp_path / "stats.npz"
+    save_stats(stats, mu, sigma, features=feats)
+
+    eval_fid.main([
+        "sweep",
+        "--ckpt_path", str(tmp_path / "run" / "checkpoints"),
+        "--stats", str(stats),
+        "--num_samples", "8", "--batch_size", "4", "--num_steps", "2",
+        "--image_size", "8", "--num_classes", "10", "--load_ema",
+        "--features", "tests.fake_features",
+        "--sample_dir", str(tmp_path / "sweep_samples"),
+    ])
+    out = capsys.readouterr().out
+    for step in steps:
+        assert f"step {step:>8}" in out
+    assert "BEST: step" in out
+
+
+def test_eval_fid_sweep_posthoc_sigma_rels(tmp_path, capsys):
+    """eval_fid sweep --posthoc_sigma_rels: reconstruct post-hoc EMA at each
+    target sigma_rel (EDM2 Algorithm 3), generate, and score — the EDM2
+    sigma_rel-selection workflow in one command."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
+    import eval_fid
+
+    from tinyedm_tpu.utils.fid import compute_stats_and_features, save_stats
+    import tests.fake_features as ff
+
+    spec = EDMSpec(
+        diffuser=Diffuser(P_mean=-1.2, P_std=1.2),
+        embedding=Embedding(fourier_dim=8, embedding_dim=16, num_classes=10),
+        denoiser=Denoiser(
+            in_channels=3,
+            out_channels=3,
+            embedding_dim=16,
+            num_heads=2,
+            sigma_data=0.5,
+            encoder_block_types=("Enc", "EncD"),
+            decoder_block_types=("Dec", "DecU", "Dec", "Dec"),
+            encoder_out_channels=(8, 16),
+            decoder_out_channels=(16, 8, 8, 8),
+            skip_connections=(True, False, True, True),
+            dtype=jnp.bfloat16,
+        ),
+        use_ema=True,
+        ema_lengths=(0.05, 0.13),  # two tracked profiles to combine
+        lr=1e-3,
+        rampup_steps=2,
+        steady_steps=4,
+        scheduler_interval="epoch",
+    )
+    dm = SyntheticDataModule(
+        batch_size=16, image_size=8, num_channels=3, num_samples=32
+    )
+    trainer = make_trainer(tmp_path, spec, max_epochs=1, dm=dm)
+    trainer.fit()
+    trainer.ckpt.wait()
+
+    mu, sigma, feats = compute_stats_and_features(
+        [dm.train_images], ff.feature_fn(), max_features=32
+    )
+    stats = tmp_path / "stats.npz"
+    save_stats(stats, mu, sigma, features=feats)
+
+    eval_fid.main([
+        "sweep",
+        "--ckpt_path", str(tmp_path / "run" / "checkpoints"),
+        "--stats", str(stats),
+        "--num_samples", "8", "--batch_size", "4", "--num_steps", "2",
+        "--image_size", "8", "--num_classes", "10",
+        "--features", "tests.fake_features",
+        "--sample_dir", str(tmp_path / "sweep_samples"),
+        "--posthoc_sigma_rels", "0.08", "0.13",
+    ])
+    out = capsys.readouterr().out
+    assert "sigma_rel 0.08  FID" in out
+    assert "sigma_rel 0.13  FID" in out
+    assert "BEST: sigma_rel" in out

@@ -550,3 +550,132 @@ class TestProxyFeatures:
         ])
         out = capsys.readouterr().out
         assert "FID[proxy]:" in out and "WARNING" in out
+
+
+class TestPRDC:
+    """Precision/Recall/Density/Coverage (utils/fid.py::prdc) — the
+    fidelity-vs-diversity decomposition of Naeem et al. 2020."""
+
+    @staticmethod
+    def _naive(real, fake, k):
+        """Textbook O(n^2) reference: k-NN ball radii + membership counts."""
+        def radii(x):
+            d = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+            return np.sort(d, axis=1)[:, k]  # col 0 is the self-distance 0
+
+        rr, fr = radii(real), radii(fake)
+        d = np.sqrt(((fake[:, None, :] - real[None, :, :]) ** 2).sum(-1))
+        precision = (d <= rr[None, :]).any(axis=1).mean()
+        recall = (d.T <= fr[None, :]).any(axis=1).mean()
+        density = (d <= rr[None, :]).sum() / (k * len(fake))
+        coverage = (d.min(axis=0) <= rr).mean()
+        return dict(precision=precision, recall=recall, density=density,
+                    coverage=coverage)
+
+    def test_matches_naive(self):
+        from tinyedm_tpu.utils.fid import prdc
+
+        rng = np.random.default_rng(0)
+        real = rng.standard_normal((60, 4))
+        fake = rng.standard_normal((50, 4)) * 1.3 + 0.2
+        got = prdc(real, fake, k=3, chunk=16)  # chunk < n exercises blocking
+        want = self._naive(real, fake, k=3)
+        for key in want:
+            assert got[key] == pytest.approx(want[key], rel=1e-9), key
+
+    def test_same_distribution_near_one_and_mode_collapse(self):
+        from tinyedm_tpu.utils.fid import prdc
+
+        rng = np.random.default_rng(1)
+        real = rng.standard_normal((400, 8))
+        same = prdc(real, rng.standard_normal((400, 8)), k=5)
+        assert same["precision"] > 0.85 and same["recall"] > 0.85
+        assert same["coverage"] > 0.85
+        # mode collapse: high-fidelity but concentrated fakes -> precision
+        # stays high, recall/coverage collapse
+        collapsed = rng.standard_normal((400, 8)) * 0.05
+        mc = prdc(real, collapsed, k=5)
+        assert mc["precision"] > 0.8
+        assert mc["recall"] < 0.3 and mc["coverage"] < 0.3
+
+    def test_k_validation_and_dim_mismatch(self):
+        from tinyedm_tpu.utils.fid import prdc
+
+        rng = np.random.default_rng(2)
+        with pytest.raises(ValueError, match="k="):
+            prdc(rng.standard_normal((4, 3)), rng.standard_normal((10, 3)), k=5)
+        with pytest.raises(ValueError, match="dims differ"):
+            prdc(rng.standard_normal((10, 3)), rng.standard_normal((10, 4)))
+
+    def test_cli_score_prdc(self, tmp_path):
+        """score --prdc prints the PRDC line from stored feature rows."""
+        import io
+        import sys
+        from contextlib import redirect_stdout
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
+        import eval_fid
+        from PIL import Image
+
+        import tests.fake_features as ff
+        from tinyedm_tpu.utils.fid import compute_stats_and_features
+
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 256, (48, 32, 32, 3), dtype=np.uint8)
+        mu, sigma, feats = compute_stats_and_features(
+            [imgs], ff.feature_fn(), max_features=48
+        )
+        stats = tmp_path / "stats.npz"
+        save_stats(stats, mu, sigma, features=feats)
+        sdir = tmp_path / "samples"
+        sdir.mkdir()
+        for i, im in enumerate(imgs[:32]):
+            Image.fromarray(im).save(sdir / f"{i}.png")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            eval_fid.main([
+                "score", "--ckpt_path", "unused", "--stats", str(stats),
+                "--sample_dir", str(sdir), "--skip_generate",
+                "--features", "tests.fake_features", "--batch_size", "16",
+                "--prdc", "--prdc_k", "3",
+            ])
+        out = buf.getvalue()
+        assert "PRDC[tests.fake_features]: precision" in out
+        # samples ARE a subset of the reference set -> high precision
+        line = [l for l in out.splitlines() if l.startswith("PRDC")][0]
+        precision = float(line.split("precision")[1].split()[0])
+        assert precision > 0.9
+
+    def test_cli_stats_png_dir_format(self, tmp_path):
+        """stats --format png_dir builds reference stats from any image dir."""
+        import io
+        import sys
+        from contextlib import redirect_stdout
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
+        import eval_fid
+        from PIL import Image
+
+        rng = np.random.default_rng(4)
+        ddir = tmp_path / "imgs"
+        ddir.mkdir()
+        for i in range(20):
+            Image.fromarray(
+                rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            ).save(ddir / f"{i}.png")
+        out_npz = tmp_path / "s.npz"
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            eval_fid.main([
+                "stats", "--data-dir", str(ddir), "--out", str(out_npz),
+                "--format", "png_dir", "--features", "tests.fake_features",
+                "--kid-features", "16", "--batch-size", "8",
+            ])
+        assert "wrote stats" in buf.getvalue()
+        from tinyedm_tpu.utils.fid import load_features, load_stats
+
+        mu, sigma = load_stats(out_npz)
+        assert mu.shape == (48,) and sigma.shape == (48, 48)
+        assert load_features(out_npz).shape == (16, 48)

@@ -74,3 +74,46 @@ def test_solver_float64_requires_x64():
     if not jax.config.jax_enable_x64:
         with pytest.raises(ValueError, match="jax_enable_x64"):
             _ = s.jnp_dtype
+
+
+class TestCheckpointMonitor:
+    def _state(self, step):
+        from tinyedm_tpu.training.state import TrainState
+
+        return TrainState(
+            step=jnp.asarray(step, jnp.int32),
+            params={"w": np.ones(2, np.float32)},
+            constants={"c": np.zeros(1, np.float32)},
+            opt_state={"m": np.zeros(2, np.float32)},
+            ema=({"w": np.ones(2, np.float32)},),
+        )
+
+    def test_missing_monitor_key_ranks_worst(self, tmp_path):
+        """Top-k by a custom monitor (e.g. fid): a save whose metrics LACK
+        the monitored key must rank worst, not best-at-0.0 — otherwise a
+        fid-monitored run pins its top-k slots to metric-less checkpoints."""
+        from tinyedm_tpu.training.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(
+            tmp_path / "ckpt", max_to_keep=1, monitor="fid", mode="min",
+            save_last=False, async_save=False,
+        )
+        mngr.save(1, self._state(1), metrics={"fid": 5.0})
+        mngr.save(2, self._state(2), metrics={"val_loss": 0.01})  # no fid
+        mngr.wait()
+        assert mngr.best_step == 1
+        mngr.close()
+
+    def test_mode_max_monitor(self, tmp_path):
+        from tinyedm_tpu.training.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(
+            tmp_path / "ckpt", max_to_keep=2, monitor="score", mode="max",
+            save_last=False, async_save=False,
+        )
+        mngr.save(1, self._state(1), metrics={"score": 1.0})
+        mngr.save(2, self._state(2), metrics={"score": 3.0})
+        mngr.save(3, self._state(3), metrics={})  # missing -> worst
+        mngr.wait()
+        assert mngr.best_step == 2
+        mngr.close()

@@ -173,6 +173,134 @@ class LatentsGenerateCallback(Callback):
         trainer.logger.log_image("Generated", grid, step=trainer.epoch)
 
 
+class FIDCallback(Callback):
+    """Training-time sample-quality tracking: every N epochs, sample
+    ``num_samples`` images with the (EMA) weights, featurize, and log
+    FID — and optionally KID — against a precomputed stats file
+    (``experiments/eval_fid.py stats``).
+
+    Beyond the reference (it ships no FID code, SURVEY.md §7.3): checkpoint
+    selection there is by val_loss only, while the EDM2 workflow selects by
+    sample quality. The logged ``fid``/``kid`` series make that a config
+    change: point the checkpoint monitor at ``fid`` with mode=min.
+
+    Image-space models only (latent models would need a VAE decode per eval;
+    use the post-training ``eval_fid.py`` protocol there). Samples are drawn
+    from fresh noise each eval (deterministic per epoch) so the metric is an
+    independent estimate, not a fixed-noise trajectory."""
+
+    def __init__(
+        self,
+        solver,
+        img_shape: tuple[int, int, int],  # (C, H, W) — reference order
+        stats_path: str,
+        num_samples: int = 1024,
+        batch_size: int = 128,
+        every_n_epochs: int = 100,
+        features: Optional[str] = None,  # resolve_feature_fn spec
+        kid: bool = False,
+        kid_subset_size: int = 1000,
+        kid_subsets: int = 100,
+        ema_index: int = 0,
+        guidance_scale: Optional[float] = None,
+    ):
+        self.solver = solver
+        self.img_shape = tuple(img_shape)
+        self.stats_path = stats_path
+        self.num_samples = num_samples
+        self.batch_size = batch_size
+        self.every_n_epochs = every_n_epochs
+        self.features = features
+        self.kid = kid
+        self.kid_subset_size = kid_subset_size
+        self.kid_subsets = kid_subsets
+        self.ema_index = ema_index
+        self.guidance_scale = guidance_scale
+        self._ref = None  # (mu2, sigma2, ref_feats) once loaded
+        self._feature_fn = None
+        self._kind = None
+
+    def on_train_start(self, trainer) -> None:
+        if jax.process_index() != 0:
+            return
+        # fail loudly at fit start, not at the first (possibly hours-away) eval
+        from tinyedm_tpu.utils.fid import load_features, load_stats
+
+        mu2, s2 = load_stats(self.stats_path)
+        ref_feats = load_features(self.stats_path)
+        if self.kid and ref_feats is None:
+            raise ValueError(
+                f"{self.stats_path} has no stored feature rows - regenerate "
+                "it with `eval_fid.py stats --kid-features N` to track KID"
+            )
+        self._ref = (mu2, s2, ref_feats)
+
+    def _sample_batches(self, trainer):
+        """Yield denormalized uint8 sample batches (device solve per batch)."""
+        c, h, w = self.img_shape
+        n_cls = trainer.model.num_classes if trainer.model.conditional else None
+        key = jax.random.PRNGKey(trainer.seed ^ 0xF1D)
+        key = jax.random.fold_in(key, trainer.epoch)
+        done = 0
+        while done < self.num_samples:
+            n = min(self.batch_size, self.num_samples - done)
+            key, sub = jax.random.split(key)
+            # fixed batch shape for the jit cache; trim the tail after solve
+            x0 = jax.random.normal(sub, (self.batch_size, h, w, c), jnp.float32)
+            labels = (
+                (jnp.arange(done, done + self.batch_size, dtype=jnp.int32) % n_cls)
+                if n_cls
+                else None
+            )
+            xT = trainer.solve(
+                self.solver,
+                x0,
+                labels,
+                use_ema=trainer.use_ema,
+                ema_index=self.ema_index,
+                guidance_scale=self.guidance_scale,
+            )
+            yield trainer.datamodule.denormalize(np.asarray(xT[:n]))
+            done += n
+
+    def on_train_epoch_end(self, trainer) -> None:
+        if jax.process_index() != 0 or self._ref is None:
+            return
+        if trainer.epoch % self.every_n_epochs != 0:
+            return
+        from tinyedm_tpu.utils.fid import (
+            compute_stats,
+            compute_stats_and_features,
+            frechet_distance,
+            kid_score,
+            resolve_feature_fn,
+        )
+
+        if self._feature_fn is None:
+            self._feature_fn, self._kind = resolve_feature_fn(self.features)
+        mu2, s2, ref_feats = self._ref
+        if self.kid:
+            mu1, s1, feats = compute_stats_and_features(
+                self._sample_batches(trainer),
+                self._feature_fn,
+                max_features=max(self.kid_subset_size, len(ref_feats)),
+            )
+        else:
+            mu1, s1 = compute_stats(self._sample_batches(trainer), self._feature_fn)
+        metrics = {"fid": frechet_distance(mu1, s1, mu2, s2)}
+        if self.kid:
+            metrics["kid"] = kid_score(
+                feats,
+                ref_feats,
+                subset_size=self.kid_subset_size,
+                num_subsets=self.kid_subsets,
+            )
+        trainer.logger.log_metrics(metrics, step=trainer.global_step)
+        # make fid/kid available to top-k checkpoint selection
+        # (checkpoint_callback.monitor: fid)
+        trainer.extra_ckpt_metrics.update(metrics)
+
+
 class PreditionWriter:
     """[typo preserved from the reference public API, callbacks.py:126]
 

@@ -63,7 +63,12 @@ class CheckpointManager:
     ):
         self.directory = Path(directory).absolute()
         self.monitor = monitor
-        best_fn = (lambda m: m.get(monitor, 0.0)) if monitor else None
+        # a checkpoint whose metrics MISS the monitored key must rank worst,
+        # not best (a m.get(monitor, 0.0) default under mode=min would pin
+        # top-k to metric-less saves — e.g. fid-monitored runs where the fid
+        # cadence skipped an epoch)
+        worst = float("inf") if mode == "min" else float("-inf")
+        best_fn = (lambda m: m.get(monitor, worst)) if monitor else None
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=best_fn,

@@ -54,6 +54,8 @@ class Trainer:
         ckpt_every_n_epochs: int = 100,
         ckpt_top_k: int = 3,
         ckpt_save_last: bool = True,
+        ckpt_monitor: str = "val_loss",
+        ckpt_mode: str = "min",
         log_every_n_steps: int = 50,
         seed: int = 42,
         mesh=None,
@@ -108,9 +110,15 @@ class Trainer:
         self.ckpt = CheckpointManager(
             self.out_dir / "checkpoints",
             max_to_keep=ckpt_top_k,
-            monitor="val_loss",
+            monitor=ckpt_monitor,
+            mode=ckpt_mode,
             save_last=ckpt_save_last,
         )
+        # callbacks may deposit per-epoch checkpoint-selection metrics here
+        # (e.g. FIDCallback's fid/kid); merged into the next save, cleared
+        # each epoch. Lets `checkpoint_callback.monitor: fid` select by
+        # sample quality instead of val_loss (EDM2 workflow).
+        self.extra_ckpt_metrics: dict = {}
         self.ckpt_every_n_epochs = ckpt_every_n_epochs
 
         self._train_step_fn = make_train_step(
@@ -284,6 +292,7 @@ class Trainer:
             val_loss = None
             if (self.epoch + 1) % self.check_val_every_n_epoch == 0:
                 val_loss = self.validate()
+            self.extra_ckpt_metrics = {}
             for cb in self.callbacks:
                 cb.on_train_epoch_end(self)
             if (self.epoch + 1) % self.ckpt_every_n_epochs == 0:
@@ -400,8 +409,12 @@ class Trainer:
     # ------------------------------------------------------------ checkpoints
     def save_checkpoint(self, val_loss: Optional[float]) -> None:
         assert self.state is not None
-        metrics = {"val_loss": val_loss} if val_loss is not None else None
-        self.ckpt.save(self.global_step, self.state, config=self.config, metrics=metrics)
+        metrics = dict(self.extra_ckpt_metrics)
+        if val_loss is not None:
+            metrics["val_loss"] = val_loss
+        self.ckpt.save(
+            self.global_step, self.state, config=self.config, metrics=metrics or None
+        )
         if getattr(self.logger, "_log_model", False):
             # wandb log_model analog: wait for the async save to land, then
             # upload the step directory as an artifact (no-op without wandb)

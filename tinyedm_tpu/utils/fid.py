@@ -131,6 +131,79 @@ def kid_score(
     return float(total / num_subsets)
 
 
+def _sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise squared euclidean distances (len(a), len(b)) via the dot
+    trick; clipped at 0 against float cancellation."""
+    d2 = (
+        (a * a).sum(axis=1)[:, None]
+        + (b * b).sum(axis=1)[None, :]
+        - 2.0 * (a @ b.T)
+    )
+    return np.clip(d2, 0.0, None)
+
+
+def _knn_sq_radii(x: np.ndarray, k: int, chunk: int) -> np.ndarray:
+    """Squared distance to the k-th nearest OTHER row, per row (the manifold
+    ball radius of Kynkaanniemi et al. 2019). Partition index k counts the
+    self-distance 0, so it selects the k-th neighbor proper."""
+    out = np.empty(len(x))
+    for s in range(0, len(x), chunk):
+        d2 = _sq_dists(x[s : s + chunk], x)
+        out[s : s + chunk] = np.partition(d2, k, axis=1)[:, k]
+    return out
+
+
+def prdc(
+    real_feats: np.ndarray,
+    fake_feats: np.ndarray,
+    k: int = 5,
+    chunk: int = 1024,
+) -> dict:
+    """Precision / Recall / Density / Coverage (Naeem et al. 2020,
+    "Reliable Fidelity and Diversity Metrics for Generative Models",
+    generalizing the improved precision/recall of Kynkaanniemi et al. 2019).
+
+    The real and fake manifolds are estimated as unions of k-NN balls around
+    the feature rows; then
+      precision = fraction of fake rows inside the real manifold (fidelity),
+      recall    = fraction of real rows inside the fake manifold (diversity),
+      density   = mean count of real balls covering each fake row / k
+                  (precision robust to real-set outliers; can exceed 1),
+      coverage  = fraction of real rows whose OWN ball contains a fake row
+                  (recall robust to fake-set outliers).
+    FID/KID compress quality to one number; this decomposes it into
+    fidelity-vs-diversity, which is what guidance sweeps trade off.
+    Computed in chunked numpy — no (N, M) materialization beyond
+    chunk x max(N, M)."""
+    real = np.asarray(real_feats, np.float64)
+    fake = np.asarray(fake_feats, np.float64)
+    if real.shape[1] != fake.shape[1]:
+        raise ValueError(f"feature dims differ: {real.shape[1]} vs {fake.shape[1]}")
+    if k >= len(real) or k >= len(fake):
+        raise ValueError(f"k={k} needs more than k rows in each set")
+    real_r2 = _knn_sq_radii(real, k, chunk)
+    fake_r2 = _knn_sq_radii(fake, k, chunk)
+    precision_hits = 0
+    density_sum = 0.0
+    min_d2_to_fake = np.full(len(real), np.inf)
+    for s in range(0, len(fake), chunk):
+        d2 = _sq_dists(fake[s : s + chunk], real)  # (chunk, N_real)
+        inside = d2 <= real_r2[None, :]
+        precision_hits += int(inside.any(axis=1).sum())
+        density_sum += float(inside.sum())
+        np.minimum(min_d2_to_fake, d2.min(axis=0), out=min_d2_to_fake)
+    recall_hits = 0
+    for s in range(0, len(real), chunk):
+        d2 = _sq_dists(real[s : s + chunk], fake)
+        recall_hits += int((d2 <= fake_r2[None, :]).any(axis=1).sum())
+    return {
+        "precision": precision_hits / len(fake),
+        "recall": recall_hits / len(real),
+        "density": density_sum / (k * len(fake)),
+        "coverage": float((min_d2_to_fake <= real_r2).mean()),
+    }
+
+
 def _sqrtm_psd(mat: np.ndarray) -> np.ndarray:
     """Matrix square root via eigendecomposition (symmetric PSD up to noise)."""
     vals, vecs = np.linalg.eigh(mat)
@@ -246,6 +319,32 @@ def proxy_features(dim: int = 256, seed: int = 0) -> FeatureFn:
     from tinyedm_tpu.utils.inception import proxy_feature_fn
 
     return proxy_feature_fn(dim=dim, seed=seed)
+
+
+def resolve_feature_fn(spec: Optional[str]) -> tuple[FeatureFn, str]:
+    """Resolve a feature-extractor spec shared by the eval CLI and the
+    training-time FIDCallback: 'inception' (flax port / torchvision, needs
+    local weights), 'proxy' (always available), a module path exposing
+    ``feature_fn()``, or None = inception with a warned proxy fallback.
+    Returns (fn, kind) so scores can be labeled."""
+    import importlib
+
+    if spec == "inception":
+        return inception_features(), "inception"
+    if spec == "proxy":
+        return proxy_features(), "proxy"
+    if spec is not None:
+        mod = importlib.import_module(spec)
+        return mod.feature_fn(), spec
+    try:
+        return inception_features(), "inception"
+    except FileNotFoundError:
+        print(
+            "WARNING: no InceptionV3 weights found - falling back to PROXY "
+            "features. Proxy-FID tracks relative quality but is NOT "
+            "comparable to published Inception-FID numbers."
+        )
+        return proxy_features(), "proxy"
 
 
 def fid_between_dirs(
