@@ -181,13 +181,38 @@ def cmd_sweep(args) -> None:
     instead: for each target sigma_rel, combine the checkpoint's tracked EMA
     snapshots (EDM2 Algorithm 3) into the EMA a run with that sigma_rel would
     have produced, then generate-and-score it — the EDM2 paper's actual
-    sigma_rel-selection workflow, one command."""
+    sigma_rel-selection workflow, one command.
+
+    With --guidance_scales, sweeps the guidance strength at a fixed
+    checkpoint: CFG scale without --guide_ckpt_path, autoguidance scale with
+    it (Karras et al. 2024 select the scale by FID — Table 2 sweeps it per
+    model). Composes with --guidance_sigma_min/max (limited-interval) and
+    --prdc, whose precision-vs-recall decomposition is what the scale
+    trades off."""
     feature_fn, kind = _feature_fn(args.features)
     tag = "" if kind == "inception" else f"[{kind}]"
     base = Path(args.sample_dir or tempfile.mkdtemp(prefix="fid_sweep_"))
     rows = []
 
-    if args.posthoc_sigma_rels:
+    if args.guidance_scales and args.posthoc_sigma_rels:
+        raise SystemExit("--guidance_scales and --posthoc_sigma_rels are "
+                         "separate sweep axes - pass one")
+    if args.guidance_scales:
+        for scale in args.guidance_scales:
+            sdir = base / f"gs{scale:g}"
+            sub = argparse.Namespace(**vars(args))
+            sub.guidance_scale = scale
+            _generate_samples(
+                sub,
+                str(sdir),
+                ckpt_step=args.ckpt_step,
+                ema_index=args.ema_indices[0] if args.load_ema else None,
+            )
+            res = _score_sample_dir(args, sdir, feature_fn)
+            rows.append((f"guidance_scale {scale:g}", res))
+            print(f"guidance_scale {scale:g}  FID{tag}: {res['fid']:.3f}"
+                  f"{_result_note(args, res, tag)}")
+    elif args.posthoc_sigma_rels:
         from tinyedm_tpu.posthoc_ema import reconstruct
 
         for sr in args.posthoc_sigma_rels:
@@ -296,6 +321,13 @@ def main(argv=None) -> None:
                     help="sweep RECONSTRUCTED post-hoc EMA profiles at these "
                     "target sigma_rels instead of checkpoint steps (EDM2 "
                     "Algorithm 3 + generate + score per value)")
+    pw.add_argument("--guidance_scales", type=float, nargs="*", default=None,
+                    help="sweep the guidance strength at a fixed checkpoint "
+                    "(CFG, or autoguidance with --guide_ckpt_path) — select "
+                    "the scale by FID, the Karras et al. 2024 workflow")
+    pw.add_argument("--ckpt_step", type=int, default=None,
+                    help="fix the checkpoint step for --guidance_scales "
+                    "(default: latest)")
     pw.set_defaults(fn=cmd_sweep)
 
     args = p.parse_args(argv)

@@ -790,3 +790,68 @@ def test_eval_fid_sweep_posthoc_sigma_rels(tmp_path, capsys):
     assert "sigma_rel 0.08  FID" in out
     assert "sigma_rel 0.13  FID" in out
     assert "BEST: sigma_rel" in out
+
+
+def test_eval_fid_sweep_guidance_scales(tmp_path, capsys):
+    """eval_fid sweep --guidance_scales: FID-select the CFG strength at a
+    fixed checkpoint (Karras et al. 2024 pick guidance scale by FID)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
+    import eval_fid
+
+    from tinyedm_tpu.utils.fid import compute_stats_and_features, save_stats
+    import tests.fake_features as ff
+
+    spec = tiny_spec()
+    spec = EDMSpec(
+        diffuser=spec.diffuser,
+        embedding=spec.embedding,
+        denoiser=Denoiser(
+            in_channels=3,
+            out_channels=3,
+            embedding_dim=16,
+            num_heads=2,
+            sigma_data=0.5,
+            encoder_block_types=("Enc", "EncD"),
+            decoder_block_types=("Dec", "DecU", "Dec", "Dec"),
+            encoder_out_channels=(8, 16),
+            decoder_out_channels=(16, 8, 8, 8),
+            skip_connections=(True, False, True, True),
+            dtype=jnp.bfloat16,
+        ),
+        use_ema=spec.use_ema,
+        ema_length=0.13,
+        lr=1e-3,
+        rampup_steps=2,
+        steady_steps=4,
+        scheduler_interval="epoch",
+        label_dropout=0.2,  # train the null-label branch CFG guides against
+    )
+    dm = SyntheticDataModule(
+        batch_size=16, image_size=8, num_channels=3, num_samples=32
+    )
+    trainer = make_trainer(tmp_path, spec, max_epochs=1, dm=dm)
+    trainer.fit()
+    trainer.ckpt.wait()
+
+    mu, sigma, feats = compute_stats_and_features(
+        [dm.train_images], ff.feature_fn(), max_features=32
+    )
+    stats = tmp_path / "stats.npz"
+    save_stats(stats, mu, sigma, features=feats)
+
+    eval_fid.main([
+        "sweep",
+        "--ckpt_path", str(tmp_path / "run" / "checkpoints"),
+        "--stats", str(stats),
+        "--num_samples", "8", "--batch_size", "4", "--num_steps", "2",
+        "--image_size", "8", "--num_classes", "10", "--load_ema",
+        "--features", "tests.fake_features",
+        "--sample_dir", str(tmp_path / "sweep_samples"),
+        "--guidance_scales", "1", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "guidance_scale 1  FID" in out
+    assert "guidance_scale 2  FID" in out
+    assert "BEST: guidance_scale" in out
