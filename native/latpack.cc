@@ -13,7 +13,17 @@
 //   latpack_open(path)                                    -> handle or null
 //   latpack_info(handle, &n, &h, &w, &c)
 //   latpack_gather(handle, indices, count, out, labels)   -> 0 or -errno
+//   latpack_gather_async(handle, indices, count, out, labels, threads)
+//                                                          -> request or null
+//   latpack_wait(request)                                  -> gather rc
 //   latpack_close(handle)
+//
+// The async pair double-buffers input: submit the gather for batch k+1
+// while the trainer consumes batch k. The copy runs on NATIVE threads with
+// no Python involvement, so it sidesteps the GIL/dispatch contention that
+// made Python-thread input prefetch a measured negative (BENCH.md round 3);
+// the caller's index buffer is copied at submit time, the output buffers
+// must stay alive until latpack_wait returns.
 //
 // File layout (little-endian):
 //   magic "LATPACK1" | u32 n | u32 h | u32 w | u32 c |
@@ -286,6 +296,39 @@ int latpack_gather(void* handle, const int64_t* indices, int count, float* out,
     for (auto& t : ts) t.join();
   }
   return 0;
+}
+
+namespace {
+struct AsyncReq {
+  std::thread t;
+  int rc = 0;
+};
+}  // namespace
+
+// Submit a gather to run on background native threads. Copies `indices`
+// immediately (the caller may reuse that buffer); `out`/`labels_out` are
+// written until latpack_wait(request) returns. One dispatcher thread fans
+// out to `threads` copy workers, same as the sync path.
+void* latpack_gather_async(void* handle, const int64_t* indices, int count,
+                           float* out, int32_t* labels_out, int threads) {
+  if (count < 0) return nullptr;
+  auto* req = new AsyncReq;
+  std::vector<int64_t> idx(indices, indices + count);
+  req->t = std::thread(
+      [handle, count, out, labels_out, threads, req, idx = std::move(idx)]() {
+        req->rc = latpack_gather(handle, idx.data(), count, out, labels_out,
+                                 threads);
+      });
+  return req;
+}
+
+// Block until an async gather lands; returns its rc and frees the request.
+int latpack_wait(void* request) {
+  auto* req = static_cast<AsyncReq*>(request);
+  req->t.join();
+  int rc = req->rc;
+  delete req;
+  return rc;
 }
 
 void latpack_close(void* handle) {

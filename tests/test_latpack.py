@@ -83,3 +83,59 @@ def test_datamodule_epoch(packed):
 def test_missing_file():
     with pytest.raises(FileNotFoundError):
         latpack.PackedLatents("/nonexistent.latpack")
+
+
+def test_gather_async_matches_sync(packed):
+    path, ref_lat, ref_lab = packed
+    store = latpack.PackedLatents(path, gather_threads=3)
+    idx = np.asarray([5, 0, 19, 5])
+    pending = store.gather_async(idx)
+    # the index buffer is copied at submit: clobbering it must not matter
+    idx[:] = 0
+    lat, lab = pending.wait()
+    np.testing.assert_array_equal(lab, ref_lab[[5, 0, 19, 5]])
+    np.testing.assert_allclose(lat, ref_lat[[5, 0, 19, 5]], rtol=0, atol=0)
+    # wait is idempotent
+    lat2, _ = pending.wait()
+    assert lat2 is lat
+    store.close()
+
+
+def test_gather_async_out_of_range(packed):
+    path, _, _ = packed
+    store = latpack.PackedLatents(path)
+    pending = store.gather_async(np.asarray([999]))
+    with pytest.raises(IndexError):
+        pending.wait()
+    store.close()
+
+
+def test_datamodule_prefetch_epoch_identical(packed):
+    """prefetch=True must yield byte-identical batches in the same order."""
+    path, _, _ = packed
+    kw = dict(batch_size=4, data_file=str(path), val_fraction=0.15)
+    dm_sync = latpack.PackedLatentsDataModule(prefetch=False, **kw)
+    dm_pre = latpack.PackedLatentsDataModule(prefetch=True, **kw)
+    dm_sync.setup()
+    dm_pre.setup()
+    a = list(dm_sync.train_batches(epoch=3))
+    b = list(dm_pre.train_batches(epoch=3))
+    assert len(a) == len(b) == dm_sync.steps_per_epoch()
+    for (la, ya), (lb, yb) in zip(a, b):
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(ya, yb)
+
+
+def test_datamodule_prefetch_abandoned_iterator(packed):
+    """Abandoning the generator mid-epoch must not leak writing threads
+    (PendingGather.__del__ joins)."""
+    path, _, _ = packed
+    dm = latpack.PackedLatentsDataModule(
+        batch_size=4, data_file=str(path), val_fraction=0.15, prefetch=True
+    )
+    dm.setup()
+    it = dm.train_batches(epoch=0)
+    next(it)
+    del it  # generator close unwinds with one gather in flight
+    # a fresh epoch still works
+    assert len(list(dm.train_batches(epoch=0))) == dm.steps_per_epoch()

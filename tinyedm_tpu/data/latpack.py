@@ -55,6 +55,10 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int,
         ]
+        lib.latpack_gather_async.restype = ctypes.c_void_p
+        lib.latpack_gather_async.argtypes = lib.latpack_gather.argtypes
+        lib.latpack_wait.restype = ctypes.c_int
+        lib.latpack_wait.argtypes = [ctypes.c_void_p]
         lib.latpack_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
@@ -110,6 +114,27 @@ class PackedLatents:
             raise IndexError("latpack_gather: index out of range")
         return out, labels
 
+    def gather_async(self, indices: np.ndarray) -> "PendingGather":
+        """Submit a gather to native background threads; returns a handle
+        whose .wait() yields (latents, labels). Double-buffer input with it:
+        submit batch k+1 before handing batch k to the trainer — the copy
+        overlaps the train step with zero Python-thread (GIL) involvement."""
+        indices = np.ascontiguousarray(indices, np.int64)
+        count = len(indices)
+        out = np.empty((count, self.h, self.w, self.c), np.float32)
+        labels = np.empty((count,), np.int32)
+        req = self._lib.latpack_gather_async(
+            self._handle,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.gather_threads,
+        )
+        if not req:
+            raise RuntimeError("latpack_gather_async failed to submit")
+        return PendingGather(self, req, out, labels)
+
     def close(self) -> None:
         if self._handle:
             self._lib.latpack_close(self._handle)
@@ -122,11 +147,41 @@ class PackedLatents:
             pass
 
 
+class PendingGather:
+    """In-flight async gather. Holds the store and output buffers alive until
+    the native threads land; .wait() (idempotent) returns (latents, labels)."""
+
+    def __init__(self, store: PackedLatents, req: int, out, labels):
+        self._store = store  # keeps the mmap handle alive while in flight
+        self._req = req
+        self._out = out
+        self._labels = labels
+
+    def wait(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._req:
+            rc = self._store._lib.latpack_wait(self._req)
+            self._req = None
+            if rc != 0:
+                raise IndexError("latpack_gather: index out of range")
+        return self._out, self._labels
+
+    def __del__(self):
+        try:
+            self.wait()  # never leave native threads writing into freed numpy
+        except Exception:
+            pass
+
+
 class PackedLatentsDataModule:
     """Drop-in ImageNetLatentsDataModule alternative backed by latpack.
 
     The dataset never loads into Python memory: batches are gathered from the
-    mmap'd file by native threads (the OS page cache does the rest).
+    mmap'd file by native threads (the OS page cache does the rest). With
+    ``prefetch=True`` (default) batch k+1's gather is submitted before batch
+    k is yielded, overlapping the copy with the train step on native threads
+    — no Python thread, so the GIL/dispatch contention that made
+    Python-level input prefetch a measured negative (BENCH.md round 3) does
+    not apply.
     """
 
     def __init__(
@@ -137,6 +192,7 @@ class PackedLatentsDataModule:
         val_fraction: float = 0.01,
         num_classes: int = 1000,
         seed: int = 0,
+        prefetch: bool = True,
     ):
         self.batch_size = batch_size
         self.data_file = data_file
@@ -144,6 +200,7 @@ class PackedLatentsDataModule:
         self.val_fraction = val_fraction
         self.num_classes = num_classes
         self.seed = seed
+        self.prefetch = prefetch
         self._store: Optional[PackedLatents] = None
         self._n_val = 0
 
@@ -165,8 +222,21 @@ class PackedLatentsDataModule:
         rng = np.random.default_rng((self.seed, epoch))
         order = rng.permutation(self._n_train)
         stop = self._n_train - self._n_train % self.batch_size
-        for start in range(0, stop, self.batch_size):
-            yield self._store.gather(order[start : start + self.batch_size])
+        starts = range(0, stop, self.batch_size)
+        if not self.prefetch:
+            for start in starts:
+                yield self._store.gather(order[start : start + self.batch_size])
+            return
+        # double buffer: batch k+1 gathers on native threads while the
+        # caller trains on batch k
+        pending = None
+        for start in starts:
+            nxt = self._store.gather_async(order[start : start + self.batch_size])
+            if pending is not None:
+                yield pending.wait()
+            pending = nxt
+        if pending is not None:
+            yield pending.wait()
 
     def val_batches(self) -> Iterator:
         assert self._store is not None, "call setup() first"
