@@ -42,6 +42,7 @@ def _feature_fn(spec: str | None):
 
 def cmd_stats(args) -> None:
     from tinyedm_tpu.utils.fid import (
+        compute_stats,
         compute_stats_and_features,
         png_dir_batches,
         save_stats,
@@ -65,12 +66,17 @@ def cmd_stats(args) -> None:
                 yield dm.train_images[start : start + args.batch_size]
 
     # keep a raw feature subsample so `score --kid` works against this file
-    # (kid_features 0 disables, for minimal stats files)
-    mu, sigma, feats = compute_stats_and_features(
-        batches(), feature_fn, max_features=args.kid_features or None
-    )
-    save_stats(args.out, mu, sigma, features=feats if args.kid_features else None)
-    kid_note = f" + {len(feats)} KID rows" if args.kid_features else ""
+    # (kid_features 0 disables, for minimal stats files — and must take the
+    # moments-only path: max_features=None means an UNBOUNDED reservoir)
+    if args.kid_features:
+        mu, sigma, feats = compute_stats_and_features(
+            batches(), feature_fn, max_features=args.kid_features
+        )
+    else:
+        mu, sigma = compute_stats(batches(), feature_fn)
+        feats = None
+    save_stats(args.out, mu, sigma, features=feats)
+    kid_note = f" + {len(feats)} KID rows" if feats is not None else ""
     print(f"wrote stats ({len(mu)}-d {kind} features{kid_note}) to {args.out}")
 
 
@@ -197,6 +203,13 @@ def cmd_sweep(args) -> None:
     if args.guidance_scales and args.posthoc_sigma_rels:
         raise SystemExit("--guidance_scales and --posthoc_sigma_rels are "
                          "separate sweep axes - pass one")
+    for flag, vals in (("--guidance_scales", args.guidance_scales),
+                       ("--posthoc_sigma_rels", args.posthoc_sigma_rels)):
+        # nargs="*" permits an empty list; falling through to the full
+        # every-checkpoint sweep on a swallowed value would silently start
+        # hours of unintended generation — error instead
+        if vals is not None and not vals:
+            raise SystemExit(f"{flag} needs at least one value")
     if args.guidance_scales:
         for scale in args.guidance_scales:
             sdir = base / f"gs{scale:g}"

@@ -855,3 +855,114 @@ def test_eval_fid_sweep_guidance_scales(tmp_path, capsys):
     assert "guidance_scale 1  FID" in out
     assert "guidance_scale 2  FID" in out
     assert "BEST: guidance_scale" in out
+
+
+def test_fid_callback_cadence_aligns_with_checkpoint_saves(tmp_path):
+    """FIDCallback fires on the same (epoch+1) % N convention as the
+    checkpoint cadence, so a fid-monitored periodic save actually carries
+    the metric (an epoch-0-based cadence never coincided with the saves —
+    the monitor then scored EVERY checkpoint as missing)."""
+    from tinyedm_tpu.training.callbacks import FIDCallback
+    from tinyedm_tpu.utils.fid import compute_stats_and_features, save_stats
+    import tests.fake_features as ff
+
+    dm = SyntheticDataModule(
+        batch_size=16, image_size=8, num_channels=1, num_samples=64
+    )
+    mu, sigma, feats = compute_stats_and_features(
+        [dm.train_images], ff.feature_fn(), max_features=64
+    )
+    stats = tmp_path / "stats.npz"
+    save_stats(stats, mu, sigma, features=feats)
+
+    cb = FIDCallback(
+        solver=DeterministicSolver(num_steps=2),
+        img_shape=(1, 8, 8),
+        stats_path=str(stats),
+        num_samples=8,
+        batch_size=8,
+        every_n_epochs=2,  # must coincide with the (epoch+1)%2 epoch-1 save
+        features="tests.fake_features",
+    )
+    trainer = make_trainer(
+        tmp_path, tiny_spec(), max_epochs=2, callbacks=[cb], dm=dm,
+        ckpt_monitor="fid",
+    )
+    saved = []
+    orig_save = trainer.ckpt.save
+
+    def recording_save(step, state, config=None, metrics=None):
+        saved.append((step, dict(metrics or {})))
+        return orig_save(step, state, config=config, metrics=metrics)
+
+    trainer.ckpt.save = recording_save
+    trainer.fit()
+    trainer.ckpt.wait()
+    by_step = dict(saved)
+    assert "fid" not in by_step[4]  # epoch 0: cadence-2 callback silent
+    assert "fid" in by_step[8]  # epoch 1: deposited into the SAME epoch's save
+
+
+def test_midepoch_preemption_skips_epoch_end_work(tmp_path):
+    """A mid-epoch interrupt checkpoints immediately: validation and
+    epoch-end callbacks (potentially minutes of FID/preview sampling) are
+    skipped so the save lands inside a short preemption grace window."""
+    from tinyedm_tpu.training.callbacks import Callback
+
+    epoch_end_calls = []
+
+    class Recorder(Callback):
+        def on_train_epoch_end(self, trainer) -> None:
+            epoch_end_calls.append(trainer.epoch)
+
+    trainer = make_trainer(
+        tmp_path, tiny_spec(use_ema=False), max_epochs=2, callbacks=[Recorder()]
+    )
+    orig_batches = trainer.datamodule.train_batches
+
+    def interrupting(epoch, **kw):
+        for i, b in enumerate(orig_batches(epoch, **kw)):
+            if epoch == 0 and i == 1:
+                trainer._interrupted = True
+            yield b
+
+    trainer.datamodule.train_batches = interrupting
+    validations = []
+    trainer.validate = lambda: validations.append(1)
+    trainer.fit()
+    assert trainer.global_step == 2  # stopped mid-epoch
+    assert trainer.ckpt.latest_step == 2  # ...but the save landed
+    assert epoch_end_calls == [] and validations == []
+
+
+def test_resume_skip_does_not_materialize_consumed_batches(tmp_path):
+    """Mid-epoch resume fast-skips consumed batches inside the datamodule:
+    they are never gathered/normalized (only the shuffle/augment rng streams
+    advance), so resuming late in a huge epoch costs no data work."""
+    trainer = make_trainer(tmp_path, tiny_spec(use_ema=False), max_epochs=1)
+    orig_batches = trainer.datamodule.train_batches
+
+    def interrupting(epoch, **kw):
+        for i, b in enumerate(orig_batches(epoch, **kw)):
+            if i == 2:
+                trainer._interrupted = True
+            yield b
+
+    trainer.datamodule.train_batches = interrupting
+    trainer.fit()
+    assert trainer.global_step == 3
+
+    trainer2 = make_trainer(tmp_path, tiny_spec(use_ema=False), max_epochs=1)
+    gathered = []  # _augment is the train-path gather (val_batches skips it)
+    orig_augment = trainer2.datamodule._augment
+
+    def counting_augment(x, rng):
+        gathered.append(len(x))
+        return orig_augment(x, rng)
+
+    trainer2.datamodule._augment = counting_augment
+    trainer2.fit(resume=True)
+    assert trainer2.global_step == 4
+    # one batch for the abstract-state probe (restore's eval_shape) + the
+    # single remaining batch — NOT the 3 consumed ones
+    assert len(gathered) == 2, gathered

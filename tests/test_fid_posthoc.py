@@ -679,3 +679,65 @@ class TestPRDC:
         mu, sigma = load_stats(out_npz)
         assert mu.shape == (48,) and sigma.shape == (48, 48)
         assert load_features(out_npz).shape == (16, 48)
+
+
+def test_stats_kid_features_zero_takes_moments_only_path(tmp_path):
+    """`stats --kid-features 0` must stream moments only: routing 0 through
+    `or None` once built an UNBOUNDED reservoir (every feature row resident)
+    before discarding it."""
+    import pickle
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parents[1] / "experiments"))
+    import eval_fid
+
+    import tinyedm_tpu.utils.fid as fid_mod
+
+    rng = np.random.default_rng(5)
+    base = tmp_path / "cifar10" / "cifar-10-batches-py"
+    base.mkdir(parents=True)
+    for i in range(1, 6):
+        data = rng.integers(0, 256, (20, 3 * 32 * 32), dtype=np.uint8)
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": list(rng.integers(0, 10, 20))}, f)
+    with open(base / "test_batch", "wb") as f:
+        pickle.dump({b"data": data, b"labels": list(rng.integers(0, 10, 20))}, f)
+
+    stats = tmp_path / "stats.npz"
+    orig = fid_mod.compute_stats_and_features
+    def forbidden(*a, **k):
+        raise AssertionError("kid-features 0 must not build a feature reservoir")
+    fid_mod.compute_stats_and_features = forbidden
+    try:
+        eval_fid.main([
+            "stats", "--data-dir", str(tmp_path / "cifar10"), "--out", str(stats),
+            "--features", "tests.fake_features", "--batch-size", "32",
+            "--kid-features", "0",
+        ])
+    finally:
+        fid_mod.compute_stats_and_features = orig
+    from tinyedm_tpu.utils.fid import load_features, load_stats
+
+    mu, sigma = load_stats(stats)
+    assert mu.ndim == 1 and sigma.shape == (len(mu), len(mu))
+    assert load_features(stats) is None
+
+
+def test_sweep_empty_value_list_errors(tmp_path):
+    """`sweep --guidance_scales` (or --posthoc_sigma_rels) with zero values
+    must error, not silently fall through to the full every-checkpoint
+    sweep (hours of unintended generation)."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parents[1] / "experiments"))
+    import eval_fid
+
+    for flag in ("--guidance_scales", "--posthoc_sigma_rels"):
+        with pytest.raises(SystemExit, match="at least one value"):
+            eval_fid.main([
+                "sweep", "--ckpt_path", "unused", "--stats", "unused.npz",
+                "--sample_dir", str(tmp_path), "--features", "tests.fake_features",
+                flag,
+            ])

@@ -139,3 +139,33 @@ def test_datamodule_prefetch_abandoned_iterator(packed):
     del it  # generator close unwinds with one gather in flight
     # a fresh epoch still works
     assert len(list(dm.train_batches(epoch=0))) == dm.steps_per_epoch()
+
+
+def test_close_drains_inflight_async_gather(packed):
+    """close() with an async gather in flight must wait for the native
+    threads before munmapping (otherwise: memcpy from an unmapped region,
+    SIGSEGV with no traceback)."""
+    path, ref_lat, ref_lab = packed
+    store = latpack.PackedLatents(path, gather_threads=3)
+    idx = np.asarray([2, 11, 2, 20])
+    pending = store.gather_async(idx)
+    store.close()  # drains the request, THEN unmaps
+    lat, lab = pending.wait()  # idempotent; buffers were filled before close
+    np.testing.assert_array_equal(lab, ref_lab[idx])
+    np.testing.assert_allclose(lat, ref_lat[idx], rtol=0, atol=0)
+
+
+def test_datamodule_skip_fast_forwards(packed):
+    """train_batches(skip=K) yields exactly the batches K.. of the full
+    epoch (mid-epoch preemption resume) without gathering the skipped ones."""
+    path, _, _ = packed
+    dm = latpack.PackedLatentsDataModule(
+        batch_size=4, data_file=str(path), val_fraction=0.15, prefetch=True
+    )
+    dm.setup()
+    full = list(dm.train_batches(epoch=1))
+    resumed = list(dm.train_batches(epoch=1, skip=2))
+    assert len(resumed) == len(full) - 2
+    for (la, ya), (lb, yb) in zip(full[2:], resumed):
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(ya, yb)

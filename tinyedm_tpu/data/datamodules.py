@@ -84,26 +84,34 @@ class AbstractDataModule:
         return n // self.batch_size if drop_last else -(-n // self.batch_size)
 
     def train_batches(
-        self, epoch: int, drop_last: bool = True
+        self, epoch: int, drop_last: bool = True, skip: int = 0
     ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        """Shuffled, augmented, normalized train batches for one epoch."""
+        """Shuffled, augmented, normalized train batches for one epoch.
+
+        ``skip`` fast-forwards past the first K batches without gathering or
+        normalizing them (mid-epoch preemption resume): the augment rng
+        stream is still advanced per skipped batch, so the remaining batches
+        are bitwise-identical to an uninterrupted epoch's."""
         assert self.train_images is not None, "call setup() first"
         rng = np.random.default_rng((self.seed, epoch))
         n = len(self.train_images)
         order = rng.permutation(n)
         stop = n - n % self.batch_size if drop_last else n
-        for start in range(0, stop, self.batch_size):
+        for bi, start in enumerate(range(0, stop, self.batch_size)):
             idx = order[start : start + self.batch_size]
+            if bi < skip:  # advance the augment rng only; no data work
+                self._flip_flags(len(idx), rng)
+                continue
             images = self._augment(self.train_images[idx], rng)
             yield self._normalize(images), self.train_labels[idx].astype(np.int32)
 
     def train_batches_raw(
-        self, epoch: int, drop_last: bool = True
+        self, epoch: int, drop_last: bool = True, skip: int = 0
     ) -> Iterator[tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
         """Shuffled (uint8 images, flip flags or None, labels) batches —
         the raw-path twin of ``train_batches``: same shuffle order, same rng
         stream, augmentation deferred to the device. Only valid when
-        ``raw_uint8`` (callers check)."""
+        ``raw_uint8`` (callers check). ``skip`` as in ``train_batches``."""
         assert self.raw_uint8, "train_batches_raw needs a uint8 source"
         assert self.train_images is not None, "call setup() first"
         assert self.train_images.dtype == np.uint8
@@ -111,9 +119,11 @@ class AbstractDataModule:
         n = len(self.train_images)
         order = rng.permutation(n)
         stop = n - n % self.batch_size if drop_last else n
-        for start in range(0, stop, self.batch_size):
+        for bi, start in enumerate(range(0, stop, self.batch_size)):
             idx = order[start : start + self.batch_size]
             flags = self._flip_flags(len(idx), rng)
+            if bi < skip:
+                continue
             yield self.train_images[idx], flags, self.train_labels[idx].astype(
                 np.int32
             )

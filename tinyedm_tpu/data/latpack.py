@@ -93,6 +93,9 @@ class PackedLatents:
         )
         self.n, self.h, self.w, self.c = n.value, h.value, w.value, c.value
         self.gather_threads = gather_threads
+        # in-flight async gathers: close() must not munmap while native
+        # threads still copy from the mapping (segfault, no traceback)
+        self._pending: set = set()
 
     def __len__(self) -> int:
         return self.n
@@ -133,10 +136,17 @@ class PackedLatents:
         )
         if not req:
             raise RuntimeError("latpack_gather_async failed to submit")
-        return PendingGather(self, req, out, labels)
+        pg = PendingGather(self, req, out, labels)
+        self._pending.add(pg)
+        return pg
 
     def close(self) -> None:
         if self._handle:
+            for pg in list(self._pending):  # drain in-flight gathers first
+                try:
+                    pg.wait()
+                except IndexError:
+                    pass
             self._lib.latpack_close(self._handle)
             self._handle = None
 
@@ -161,6 +171,7 @@ class PendingGather:
         if self._req:
             rc = self._store._lib.latpack_wait(self._req)
             self._req = None
+            self._store._pending.discard(self)
             if rc != 0:
                 raise IndexError("latpack_gather: index out of range")
         return self._out, self._labels
@@ -217,12 +228,15 @@ class PackedLatentsDataModule:
     def steps_per_epoch(self, drop_last: bool = True) -> int:
         return self._n_train // self.batch_size
 
-    def train_batches(self, epoch: int, drop_last: bool = True) -> Iterator:
+    def train_batches(self, epoch: int, drop_last: bool = True, skip: int = 0) -> Iterator:
+        """``skip`` fast-forwards past the first K batches without touching
+        the store (mid-epoch preemption resume — no gather, no page-cache
+        traffic for already-consumed batches)."""
         assert self._store is not None, "call setup() first"
         rng = np.random.default_rng((self.seed, epoch))
         order = rng.permutation(self._n_train)
         stop = self._n_train - self._n_train % self.batch_size
-        starts = range(0, stop, self.batch_size)
+        starts = range(skip * self.batch_size, stop, self.batch_size)
         if not self.prefetch:
             for start in starts:
                 yield self._store.gather(order[start : start + self.batch_size])

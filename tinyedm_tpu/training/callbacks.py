@@ -266,7 +266,12 @@ class FIDCallback(Callback):
     def on_train_epoch_end(self, trainer) -> None:
         if jax.process_index() != 0 or self._ref is None:
             return
-        if trainer.epoch % self.every_n_epochs != 0:
+        # (epoch+1) cadence — the same convention as check_val_every_n_epoch
+        # and ckpt_every_n_epochs, so an every_n_epochs that divides the
+        # checkpoint cadence deposits fid/kid into the SAME epoch's save
+        # (epoch-0-based `epoch % N` never coincides with `(epoch+1) % M`
+        # saves at equal cadences and the monitored key would always miss)
+        if (trainer.epoch + 1) % self.every_n_epochs != 0:
             return
         from tinyedm_tpu.utils.fid import (
             compute_stats,

@@ -248,11 +248,18 @@ class Trainer:
             n_samples = 0
             last_metrics = None
             skip, self._skip_batches = self._skip_batches, 0
-            batches = (
-                self.datamodule.train_batches_raw(self.epoch)
+            batches_fn = (
+                self.datamodule.train_batches_raw
                 if self.device_preprocess
-                else self.datamodule.train_batches(self.epoch)
+                else self.datamodule.train_batches
             )
+            try:
+                # in-repo datamodules fast-skip consumed batches (rng streams
+                # still advance; no gather/augment/normalize work is paid)
+                batches = batches_fn(self.epoch, skip=skip)
+                skip = 0
+            except TypeError:  # user datamodule without skip support
+                batches = batches_fn(self.epoch)
             for i, batch_np in enumerate(batches):
                 if i < skip:  # consumed before the mid-epoch checkpoint
                     continue
@@ -289,6 +296,11 @@ class Trainer:
                     step=self.global_step,
                 )
 
+            if self._interrupted:
+                # preemption: the grace window is short — skip validation and
+                # epoch-end callbacks (a FID eval can take minutes) and go
+                # straight to the final save below
+                break
             val_loss = None
             if (self.epoch + 1) % self.check_val_every_n_epoch == 0:
                 val_loss = self.validate()
