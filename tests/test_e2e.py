@@ -647,10 +647,14 @@ def test_fid_callback_kid_without_features_fails_at_start(tmp_path):
 
     stats = tmp_path / "stats.npz"
     save_stats(stats, np.ones(3), np.eye(3))  # no feature rows
+    # features="proxy" is explicit so the (intentional) hard-fail on a
+    # missing Inception weight file doesn't fire first — the point here is
+    # the kid-needs-stored-feature-rows check
     cb = FIDCallback(
         solver=DeterministicSolver(num_steps=2),
         img_shape=(1, 8, 8),
         stats_path=str(stats),
+        features="proxy",
         kid=True,
     )
     trainer = make_trainer(tmp_path, tiny_spec(), max_epochs=1, callbacks=[cb])

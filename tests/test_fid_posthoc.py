@@ -485,9 +485,13 @@ class TestInceptionPort:
                                              "bias": np.zeros(32, np.float32)}}}
         path = tmp_path / "w.npz"
         save_converted(params, path)
-        back = load_converted(path)
+        back, tf_avgpool = load_converted(path)
+        assert tf_avgpool is False  # torchvision semantic by default
         np.testing.assert_array_equal(back["Conv2d_1a_3x3"]["conv"]["kernel"],
                                       params["Conv2d_1a_3x3"]["conv"]["kernel"])
+        save_converted(params, path, tf_avgpool=True)
+        _, tf_avgpool = load_converted(path)
+        assert tf_avgpool is True  # variant flag rides inside the file
 
 
 class TestProxyFeatures:
@@ -524,9 +528,10 @@ class TestProxyFeatures:
         f2 = proxy_features(dim=64, seed=7)(imgs)
         np.testing.assert_array_equal(f1, f2)
 
-    def test_score_cli_proxy_fallback_without_weights(self, tmp_path, capsys):
-        """eval_fid score must produce a number with NO inception weights and
-        NO torchvision (VERDICT r1 'done' criterion)."""
+    def test_score_cli_requires_explicit_proxy_without_weights(self, tmp_path, capsys):
+        """With NO inception weights, an un-flagged score run must HARD-FAIL
+        (VERDICT r3: a silent proxy number reads downstream as Inception FID);
+        the same run with an explicit --features proxy produces the number."""
         import sys
         from pathlib import Path
 
@@ -544,12 +549,15 @@ class TestProxyFeatures:
         mu, sigma = compute_stats(ref, proxy_features())
         stats = tmp_path / "stats.npz"
         save_stats(stats, mu, sigma)
-        eval_fid.main([
+        base_args = [
             "score", "--ckpt_path", "unused", "--stats", str(stats),
             "--sample_dir", str(sdir), "--skip_generate", "--batch_size", "16",
-        ])
+        ]
+        with pytest.raises(FileNotFoundError, match="--features proxy"):
+            eval_fid.main(base_args)
+        eval_fid.main(base_args + ["--features", "proxy"])
         out = capsys.readouterr().out
-        assert "FID[proxy]:" in out and "WARNING" in out
+        assert "FID[proxy]:" in out
 
 
 class TestPRDC:

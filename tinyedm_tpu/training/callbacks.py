@@ -223,9 +223,12 @@ class FIDCallback(Callback):
     def on_train_start(self, trainer) -> None:
         if jax.process_index() != 0:
             return
-        # fail loudly at fit start, not at the first (possibly hours-away) eval
-        from tinyedm_tpu.utils.fid import load_features, load_stats
+        # fail loudly at fit start, not at the first (possibly hours-away)
+        # eval — both for the stats file AND the feature extractor (a missing
+        # Inception weight file raises here instead of silently degrading)
+        from tinyedm_tpu.utils.fid import load_features, load_stats, resolve_feature_fn
 
+        self._feature_fn, self._kind = resolve_feature_fn(self.features)
         mu2, s2 = load_stats(self.stats_path)
         ref_feats = load_features(self.stats_path)
         if self.kid and ref_feats is None:
@@ -278,11 +281,8 @@ class FIDCallback(Callback):
             compute_stats_and_features,
             frechet_distance,
             kid_score,
-            resolve_feature_fn,
         )
 
-        if self._feature_fn is None:
-            self._feature_fn, self._kind = resolve_feature_fn(self.features)
         mu2, s2, ref_feats = self._ref
         if self.kid:
             mu1, s1, feats = compute_stats_and_features(

@@ -325,8 +325,13 @@ def resolve_feature_fn(spec: Optional[str]) -> tuple[FeatureFn, str]:
     """Resolve a feature-extractor spec shared by the eval CLI and the
     training-time FIDCallback: 'inception' (flax port / torchvision, needs
     local weights), 'proxy' (always available), a module path exposing
-    ``feature_fn()``, or None = inception with a warned proxy fallback.
-    Returns (fn, kind) so scores can be labeled."""
+    ``feature_fn()``, or None = inception, HARD-FAILING when no weights
+    exist. Returns (fn, kind) so scores can be labeled.
+
+    There is deliberately no silent proxy fallback: a proxy-FID recorded
+    under the default spec reads downstream as an Inception FID and poisons
+    any parity claim. Scoring with proxy features must be an explicit
+    decision (``--features proxy`` / ``features='proxy'``)."""
     import importlib
 
     if spec == "inception":
@@ -338,13 +343,13 @@ def resolve_feature_fn(spec: Optional[str]) -> tuple[FeatureFn, str]:
         return mod.feature_fn(), spec
     try:
         return inception_features(), "inception"
-    except FileNotFoundError:
-        print(
-            "WARNING: no InceptionV3 weights found - falling back to PROXY "
-            "features. Proxy-FID tracks relative quality but is NOT "
-            "comparable to published Inception-FID numbers."
-        )
-        return proxy_features(), "proxy"
+    except FileNotFoundError as e:
+        raise FileNotFoundError(
+            f"{e}\nRefusing to fall back to proxy features implicitly - a "
+            "proxy-FID is not comparable to Inception-FID. Pass "
+            "--features proxy (CLI) or features='proxy' (FIDCallback) to "
+            "score with proxy features explicitly."
+        ) from None
 
 
 def fid_between_dirs(

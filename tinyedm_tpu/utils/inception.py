@@ -82,15 +82,23 @@ def _maxpool(x, window=3, stride=2):
     return nn.max_pool(x, (window, window), strides=(stride, stride))
 
 
-def _avgpool3(x):
-    # count_include_pad=True average pooling, 3x3 stride 1 pad 1 (torch default)
+def _avgpool3(x, count_include_pad: bool = True):
+    """3x3 stride-1 pad-1 average pool. count_include_pad=True is the
+    torchvision semantic (F.avg_pool2d default: border windows divide by 9);
+    False is the TF/keras 'SAME' semantic (divide by the valid-element count),
+    which TF-slim, keras InceptionV3, and the TF-FID graph all use."""
     return nn.avg_pool(
-        x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=True
+        x,
+        (3, 3),
+        strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        count_include_pad=count_include_pad,
     )
 
 
 class InceptionA(nn.Module):
     pool_features: int
+    tf_avgpool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -100,7 +108,9 @@ class InceptionA(nn.Module):
         b3 = FoldedConv(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = FoldedConv(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
         b3 = FoldedConv(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
-        bp = FoldedConv(self.pool_features, (1, 1), name="branch_pool")(_avgpool3(x))
+        bp = FoldedConv(self.pool_features, (1, 1), name="branch_pool")(
+            _avgpool3(x, not self.tf_avgpool)
+        )
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -116,6 +126,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    tf_avgpool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -129,7 +140,9 @@ class InceptionC(nn.Module):
         bd = FoldedConv(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
         bd = FoldedConv(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
         bd = FoldedConv(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
-        bp = FoldedConv(192, (1, 1), name="branch_pool")(_avgpool3(x))
+        bp = FoldedConv(192, (1, 1), name="branch_pool")(
+            _avgpool3(x, not self.tf_avgpool)
+        )
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -146,6 +159,8 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    tf_avgpool: bool = False
+
     @nn.compact
     def __call__(self, x):
         b1 = FoldedConv(320, (1, 1), name="branch1x1")(x)
@@ -166,16 +181,36 @@ class InceptionE(nn.Module):
             ],
             axis=-1,
         )
-        bp = FoldedConv(192, (1, 1), name="branch_pool")(_avgpool3(x))
+        bp = FoldedConv(192, (1, 1), name="branch_pool")(
+            _avgpool3(x, not self.tf_avgpool)
+        )
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3Pool3(nn.Module):
-    """torchvision inception_v3 up to the 2048-d global-average pool
-    (aux head and fc omitted — FID never uses them)."""
+    """InceptionV3 up to the 2048-d global-average pool (aux head and fc
+    omitted — FID never uses them).
+
+    ``tf_avgpool`` selects the only semantic difference between the two
+    standard weight lineages (the conv/concat geometry is identical and is
+    validated against tf_keras in tests/test_inception_keras.py):
+
+    - False (default): torchvision semantics — the 3x3 stride-1 branch-pool
+      averages divide by 9 even at borders (F.avg_pool2d
+      count_include_pad=True). Use with ``convert_torch_inception`` on a
+      torchvision IMAGENET1K_V1 state dict.
+    - True: TF/keras 'SAME' semantics — border windows divide by the valid
+      count. Use with ``convert_keras_inception`` or any TF-slim-lineage
+      weights. The canonical FID graph (pt_inception-2015-12-05, what
+      pytorch-fid / clean-fid / torch-fidelity score with, hence what
+      published FID ~4.0 numbers mean) uses THIS pooling semantic.
+    """
+
+    tf_avgpool: bool = False
 
     @nn.compact
     def __call__(self, x):  # x: (B, 299, 299, 3) in [-1, 1]
+        tf_ap = self.tf_avgpool
         x = FoldedConv(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)
         x = FoldedConv(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = FoldedConv(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
@@ -183,17 +218,17 @@ class InceptionV3Pool3(nn.Module):
         x = FoldedConv(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = FoldedConv(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = _maxpool(x)
-        x = InceptionA(pool_features=32, name="Mixed_5b")(x)
-        x = InceptionA(pool_features=64, name="Mixed_5c")(x)
-        x = InceptionA(pool_features=64, name="Mixed_5d")(x)
+        x = InceptionA(pool_features=32, tf_avgpool=tf_ap, name="Mixed_5b")(x)
+        x = InceptionA(pool_features=64, tf_avgpool=tf_ap, name="Mixed_5c")(x)
+        x = InceptionA(pool_features=64, tf_avgpool=tf_ap, name="Mixed_5d")(x)
         x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(channels_7x7=128, name="Mixed_6b")(x)
-        x = InceptionC(channels_7x7=160, name="Mixed_6c")(x)
-        x = InceptionC(channels_7x7=160, name="Mixed_6d")(x)
-        x = InceptionC(channels_7x7=192, name="Mixed_6e")(x)
+        x = InceptionC(channels_7x7=128, tf_avgpool=tf_ap, name="Mixed_6b")(x)
+        x = InceptionC(channels_7x7=160, tf_avgpool=tf_ap, name="Mixed_6c")(x)
+        x = InceptionC(channels_7x7=160, tf_avgpool=tf_ap, name="Mixed_6d")(x)
+        x = InceptionC(channels_7x7=192, tf_avgpool=tf_ap, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(tf_avgpool=tf_ap, name="Mixed_7b")(x)
+        x = InceptionE(tf_avgpool=tf_ap, name="Mixed_7c")(x)
         return x.mean(axis=(1, 2))  # (B, 2048)
 
 
@@ -236,12 +271,15 @@ _TOPOLOGY = [
 ]
 
 
+_STEMS = ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+          "Conv2d_3b_1x1", "Conv2d_4a_3x3")
+
+
 def convert_torch_inception(state_dict: dict) -> dict:
     """Map a torchvision ``inception_v3`` state dict (IMAGENET1K_V1) onto
     InceptionV3Pool3 params, folding every BatchNorm into its conv."""
     params: dict[str, Any] = {}
-    for stem in ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
-                 "Conv2d_3b_1x1", "Conv2d_4a_3x3"):
+    for stem in _STEMS:
         params[stem] = _fold_bn(state_dict, stem)
     for name, kind in _TOPOLOGY:
         params[name] = {
@@ -250,24 +288,99 @@ def convert_torch_inception(state_dict: dict) -> dict:
     return params
 
 
+def convert_keras_inception(model) -> dict:
+    """Map a keras/tf_keras ``applications.InceptionV3`` model onto
+    InceptionV3Pool3 params (use with ``tf_avgpool=True`` — keras average
+    pools exclude padding from the denominator).
+
+    Keras builds the graph with one ``conv2d_bn`` call per conv (Conv2D then
+    BatchNormalization), and the default layer names encode the global
+    creation counter ('conv2d', 'conv2d_1', ...). Creation order follows the
+    source call order, which is exactly the _STEMS + _TOPOLOGY/_BLOCK_BRANCHES
+    flattening used here (model.layers itself is topologically sorted and
+    interleaves branches — it cannot be zipped directly). Duck-typed: no
+    keras import, works with keras 2/3 and tf_keras."""
+    import re
+
+    def creation_index(layer) -> int:
+        m = re.fullmatch(r"[a-z_\d]*?(?:_(\d+))?", layer.name)
+        if m is None:
+            raise ValueError(
+                f"layer {layer.name!r} is not default-named; "
+                "convert_keras_inception needs a freshly built "
+                "applications.InceptionV3 (default layer names)"
+            )
+        return int(m.group(1) or 0)
+
+    convs = sorted(
+        (l for l in model.layers if l.__class__.__name__ == "Conv2D"),
+        key=creation_index,
+    )
+    bns = sorted(
+        (l for l in model.layers if l.__class__.__name__ == "BatchNormalization"),
+        key=creation_index,
+    )
+    targets = [(s, None) for s in _STEMS] + [
+        (name, br) for name, kind in _TOPOLOGY for br in _BLOCK_BRANCHES[kind]
+    ]
+    if not (len(convs) == len(bns) == len(targets)):
+        raise ValueError(
+            f"expected {len(targets)} conv/bn pairs, got "
+            f"{len(convs)} convs / {len(bns)} bns - not an InceptionV3 trunk"
+        )
+    params: dict[str, Any] = {}
+    for (block, branch), conv, bn in zip(targets, convs, bns):
+        w = np.asarray(conv.kernel, np.float32)  # keras kernels are HWIO
+        n_out = w.shape[-1]
+        gamma = (np.asarray(bn.gamma, np.float32) if bn.scale
+                 else np.ones(n_out, np.float32))
+        beta = (np.asarray(bn.beta, np.float32) if bn.center
+                else np.zeros(n_out, np.float32))
+        mean = np.asarray(bn.moving_mean, np.float32)
+        var = np.asarray(bn.moving_variance, np.float32)
+        scale = gamma / np.sqrt(var + bn.epsilon)
+        cb = np.asarray(conv.bias, np.float32) if conv.use_bias else 0.0
+        leaf = {"conv": {"kernel": w * scale, "bias": beta + (cb - mean) * scale}}
+        if branch is None:
+            params[block] = leaf
+        else:
+            params.setdefault(block, {})[branch] = leaf
+    return params
+
+
 DEFAULT_WEIGHTS = Path("datasets/inception_v3_pool3.npz")
+_VARIANT_KEY = "__tf_avgpool__"
 
 
-def save_converted(params: dict, path: str | Path = DEFAULT_WEIGHTS) -> None:
+def save_converted(
+    params: dict, path: str | Path = DEFAULT_WEIGHTS, tf_avgpool: bool = False
+) -> None:
+    """Save converted weights; ``tf_avgpool`` records which avg-pool semantic
+    the weight lineage was trained under (False for convert_torch_inception
+    on torchvision weights, True for convert_keras_inception / TF-slim /
+    TF-FID lineage) so scoring picks the matching graph automatically."""
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    np.savez(path, **{jax.tree_util.keystr(k): v for k, v in flat})
+    arrays = {jax.tree_util.keystr(k): v for k, v in flat}
+    arrays[_VARIANT_KEY] = np.asarray(bool(tf_avgpool))
+    np.savez(path, **arrays)
 
 
-def load_converted(path: str | Path = DEFAULT_WEIGHTS) -> dict:
+def load_converted(path: str | Path = DEFAULT_WEIGHTS) -> tuple[dict, bool]:
+    """Returns (params, tf_avgpool). Files written before the variant flag
+    existed load as torchvision-semantic (tf_avgpool=False)."""
     data = np.load(path)
     params: dict = {}
+    tf_avgpool = False
     for key in data.files:
+        if key == _VARIANT_KEY:
+            tf_avgpool = bool(data[key])
+            continue
         node = params
         parts = [p.strip("'") for p in key.replace("]", "").split("['") if p]
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = data[key]
-    return params
+    return params, tf_avgpool
 
 
 def preprocess_uint8(images: np.ndarray) -> jnp.ndarray:
@@ -292,8 +405,8 @@ def inception_feature_fn(weights_path: str | Path = DEFAULT_WEIGHTS, batch: int 
             f"no converted InceptionV3 weights at {path}; run "
             "convert_torch_inception on a torchvision state dict first"
         )
-    params = load_converted(path)
-    model = InceptionV3Pool3()
+    params, tf_avgpool = load_converted(path)
+    model = InceptionV3Pool3(tf_avgpool=tf_avgpool)
     apply = jax.jit(lambda imgs: model.apply({"params": params}, preprocess_uint8(imgs)))
 
     def fn(images: np.ndarray) -> np.ndarray:
