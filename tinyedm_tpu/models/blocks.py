@@ -25,6 +25,7 @@ from tinyedm_tpu.models.layers import (
 )
 from tinyedm_tpu.ops.dropout import dropout_threshold
 from tinyedm_tpu.ops.mp import mp_add, mp_silu, pixel_norm
+from tinyedm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, constrain
 
 Dtype = Any
 
@@ -121,6 +122,11 @@ class EncoderBlock(nn.Module):
         g = WNLinear(self.out_channels, dtype=jnp.float32, name="embed")(
             embedding.astype(jnp.float32)
         )
+        # TP: pin the tiny (B, C) modulation vector to (data, model) — the
+        # layout its consumer (res: B over data, C over model) broadcasts
+        # against. Without the hint GSPMD falls back to involuntary full
+        # rematerialization here every block (no-op off the model axis).
+        g = constrain(g, DATA_AXIS, MODEL_AXIS)
         gain = self.param("gain", nn.initializers.ones, ())
         key = self.make_rng("dropout") if (train and self.dropout_rate > 0.0) else None
         res = _modulated_residual(
@@ -194,6 +200,8 @@ class DecoderBlock(nn.Module):
         g = WNLinear(self.out_channels, dtype=jnp.float32, name="embed")(
             embedding.astype(jnp.float32)
         )
+        # TP activation hint — see EncoderBlock (no-op off the model axis)
+        g = constrain(g, DATA_AXIS, MODEL_AXIS)
         gain = self.param("gain", nn.initializers.ones, ())
         key = self.make_rng("dropout") if (train and self.dropout_rate > 0.0) else None
         res = _modulated_residual(

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tinyedm_tpu.ops.mp import mp_add, mp_silu, normalize, pixel_norm, weight_normalize
+from tinyedm_tpu.parallel.mesh import constrain_kernel
 
 Dtype = Any
 
@@ -102,6 +103,10 @@ class WNLinear(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_features = x.shape[-1]
         w = self.param("w", _normal_init, (self.features, in_features))
+        # TP hint: restate the kernel's own layout at the use site (no-op off
+        # the model axis; prevents ZeRO-1 moment layouts leaking into the
+        # forward weight pipeline — see parallel/mesh.py::constrain_kernel)
+        w = constrain_kernel(w)
         w_eff = weight_normalize(w) * (1.0 / math.sqrt(in_features))
         x = x.astype(self.dtype)
         return jax.lax.dot_general(
@@ -125,6 +130,7 @@ class WNConv(nn.Module):
         in_ch = x.shape[-1]
         k = self.kernel_size
         w = self.param("w", _normal_init, (k, k, in_ch, self.features))
+        w = constrain_kernel(w)  # TP hint, no-op off the model axis
         fan_in = in_ch * k * k
         w_eff = weight_normalize(w) * (1.0 / math.sqrt(fan_in))
         x = x.astype(self.dtype)
