@@ -179,8 +179,16 @@ class PendingGather:
     def __del__(self):
         try:
             self.wait()  # never leave native threads writing into freed numpy
-        except Exception:
-            pass
+        except IndexError:
+            # data-corruption-class: an abandoned gather had out-of-range rows.
+            # Finalizers can't raise, but this must not vanish silently.
+            import warnings
+
+            warnings.warn(
+                "latpack: abandoned async gather failed with index out of "
+                "range — a dropped generator was reading past the store",
+                RuntimeWarning,
+            )
 
 
 class PackedLatentsDataModule:
@@ -204,6 +212,8 @@ class PackedLatentsDataModule:
         num_classes: int = 1000,
         seed: int = 0,
         prefetch: bool = True,
+        process_index: Optional[int] = None,  # default: jax.process_index()
+        process_count: Optional[int] = None,  # default: jax.process_count()
     ):
         self.batch_size = batch_size
         self.data_file = data_file
@@ -212,8 +222,29 @@ class PackedLatentsDataModule:
         self.num_classes = num_classes
         self.seed = seed
         self.prefetch = prefetch
+        self._process_index = process_index
+        self._process_count = process_count
         self._store: Optional[PackedLatents] = None
         self._n_val = 0
+
+    # train_batches yields only THIS process's rows of each global batch
+    # (same shared-seed order on every host, disjoint contiguous rank slices
+    # — exactly mesh.process_local_slice's layout, gathered instead of
+    # sliced). The trainer sees this flag and skips its own slicing
+    # (shard_batch(process_local=True)); multi-host memory and gather IO
+    # then scale as 1/N. The reference got this implicitly from per-process
+    # DataLoader workers (abstract_datamodule.py:25-59).
+    yields_process_local = True
+
+    @property
+    def _ranks(self) -> tuple[int, int]:
+        pi, pc = self._process_index, self._process_count
+        if pi is None or pc is None:
+            import jax
+
+            pi = jax.process_index() if pi is None else pi
+            pc = jax.process_count() if pc is None else pc
+        return pi, pc
 
     def prepare_data(self) -> None: ...
 
@@ -231,21 +262,33 @@ class PackedLatentsDataModule:
     def train_batches(self, epoch: int, drop_last: bool = True, skip: int = 0) -> Iterator:
         """``skip`` fast-forwards past the first K batches without touching
         the store (mid-epoch preemption resume — no gather, no page-cache
-        traffic for already-consumed batches)."""
+        traffic for already-consumed batches).
+
+        Multi-host: yields this process's contiguous rank-slice of each
+        global batch (see ``yields_process_local``); the permutation is the
+        shared-seed global order, so rank slices concatenated across
+        processes reproduce the single-host stream exactly."""
         assert self._store is not None, "call setup() first"
+        pi, pc = self._ranks
+        if self.batch_size % pc != 0:
+            raise ValueError(
+                f"global batch {self.batch_size} not divisible by {pc} processes"
+            )
+        per = self.batch_size // pc
+        lo = pi * per
         rng = np.random.default_rng((self.seed, epoch))
         order = rng.permutation(self._n_train)
         stop = self._n_train - self._n_train % self.batch_size
         starts = range(skip * self.batch_size, stop, self.batch_size)
         if not self.prefetch:
             for start in starts:
-                yield self._store.gather(order[start : start + self.batch_size])
+                yield self._store.gather(order[start + lo : start + lo + per])
             return
         # double buffer: batch k+1 gathers on native threads while the
         # caller trains on batch k
         pending = None
         for start in starts:
-            nxt = self._store.gather_async(order[start : start + self.batch_size])
+            nxt = self._store.gather_async(order[start + lo : start + lo + per])
             if pending is not None:
                 yield pending.wait()
             pending = nxt

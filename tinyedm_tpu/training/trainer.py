@@ -244,6 +244,12 @@ class Trainer:
             cb.on_train_start(self)
 
         while self.epoch < self.max_epochs and not self._interrupted:
+            # clear at epoch START, not end: a metric a callback deposited at
+            # epoch E's end (e.g. FID) describes epoch-E weights only. Clearing
+            # here means a preemption save mid-E+1 attaches nothing stale; a
+            # normal final save still sees the last epoch's deposit (weights
+            # unchanged between the deposit and that save).
+            self.extra_ckpt_metrics = {}
             t_epoch = time.time()
             n_samples = 0
             last_metrics = None
@@ -260,10 +266,18 @@ class Trainer:
                 skip = 0
             except TypeError:  # user datamodule without skip support
                 batches = batches_fn(self.epoch)
+            # datamodules that gather only this process's rows (latpack)
+            # advertise it; shard_batch then skips its global->local slicing
+            # and multi-host input memory/IO scale as 1/N. Applies to
+            # train_batches only (val_batches stay global: the padded-val
+            # exactness logic needs the global row count).
+            process_local = bool(
+                getattr(self.datamodule, "yields_process_local", False)
+            )
             for i, batch_np in enumerate(batches):
                 if i < skip:  # consumed before the mid-epoch checkpoint
                     continue
-                batch = shard_batch(self.mesh, batch_np)
+                batch = shard_batch(self.mesh, batch_np, process_local=process_local)
                 sched_count = (
                     self.epoch
                     if self.opt_cfg.scheduler_interval == "epoch"
@@ -273,7 +287,11 @@ class Trainer:
                     self.state, batch, base_rng, jnp.asarray(sched_count, jnp.float32)
                 )
                 self.global_step += 1
-                n_samples += len(batch_np[0])
+                # samples_per_sec counts GLOBAL samples: a process-local
+                # batch is 1/Nth of the global batch
+                n_samples += len(batch_np[0]) * (
+                    jax.process_count() if process_local else 1
+                )
                 last_metrics = metrics
                 if self.global_step % self.log_every_n_steps == 0:
                     self._flush_metrics(metrics)
@@ -304,7 +322,6 @@ class Trainer:
             val_loss = None
             if (self.epoch + 1) % self.check_val_every_n_epoch == 0:
                 val_loss = self.validate()
-            self.extra_ckpt_metrics = {}
             for cb in self.callbacks:
                 cb.on_train_epoch_end(self)
             if (self.epoch + 1) % self.ckpt_every_n_epochs == 0:
