@@ -214,3 +214,60 @@ class TestImageNetLatentsLayouts:
         dm.setup()
         assert len(dm.train_images) == 6
         assert len(dm.val_images) == 2
+
+
+class TestResizeGolden:
+    """_resize_batch (PIL bilinear) vs torch F.interpolate(antialias=True) —
+    the input-pipeline equivalence SURVEY.md §7.3 hard-part 5 demands: the
+    reference's torchvision v2.Resize(antialias=True) (mnistdatamodule.py:
+    18-28) is implemented on top of the same interpolate call, so torch is
+    the independent golden for both the 28->32 MNIST upscale and the
+    antialiased downscale."""
+
+    @staticmethod
+    def _torch_resize(images: np.ndarray, size: int) -> np.ndarray:
+        import torch
+
+        x = torch.from_numpy(images.astype(np.float32)).permute(0, 3, 1, 2)
+        y = torch.nn.functional.interpolate(
+            x, size=(size, size), mode="bilinear", antialias=True,
+            align_corners=False,
+        )
+        # torchvision's uint8 path rounds half away from zero after the
+        # float interpolation
+        return (
+            y.round().clamp(0, 255).to(torch.uint8).permute(0, 2, 3, 1).numpy()
+        )
+
+    @pytest.mark.parametrize("size_in,size_out", [(28, 32), (32, 16)])
+    def test_matches_torch_antialias(self, size_in, size_out):
+        from tinyedm_tpu.data.datamodules import _resize_batch
+
+        rng = np.random.default_rng(0)
+        # smooth images (MNIST-like low-frequency content) + pure noise:
+        # smooth pins the interpolation weights, noise pins rounding behavior
+        t = np.linspace(0, np.pi * 3, size_in, dtype=np.float32)
+        smooth = (np.sin(t)[None, :, None, None] * np.cos(t)[None, None, :, None]
+                  * 127 + 128).astype(np.uint8)
+        noise = rng.integers(0, 256, (4, size_in, size_in, 1), dtype=np.uint8)
+        for images in (smooth, noise):
+            mine = _resize_batch(images, size_out)
+            ref = self._torch_resize(images, size_out)
+            assert mine.shape == ref.shape
+            diff = np.abs(mine.astype(np.int32) - ref.astype(np.int32))
+            # PIL resamples uint8 with 8-bit fixed-point coefficients, torch
+            # in float32: ~15% of pixels land on opposite sides of a rounding
+            # boundary (1 LSB), never further. A genuinely wrong kernel is
+            # unmistakable: antialias=False or align_corners=True give max
+            # diff 54-64 with >90% of pixels off by >1 (measured).
+            assert diff.max() <= 1, f"max diff {diff.max()}"
+            assert (diff > 0).mean() < 0.30, (
+                f"{(diff > 0).mean():.1%} of pixels differ - more than "
+                "rounding-boundary noise"
+            )
+
+    def test_identity_when_sized(self):
+        from tinyedm_tpu.data.datamodules import _resize_batch
+
+        imgs = np.arange(2 * 32 * 32 * 3, dtype=np.uint8).reshape(2, 32, 32, 3)
+        assert _resize_batch(imgs, 32) is imgs
