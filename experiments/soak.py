@@ -59,6 +59,9 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tag", default="soak")
+    parser.add_argument("--save_ckpt", action="store_true",
+                        help="save an orbax checkpoint (with embedded config) "
+                        "at the end — feeds experiments/interop_crosscheck.py")
     args = parser.parse_args()
 
     import jax
@@ -156,6 +159,15 @@ def main() -> None:
     }
     (out_dir / "summary.json").write_text(json.dumps(summary, indent=1))
     print("SUMMARY:", json.dumps(summary), flush=True)
+    if args.save_ckpt:
+        from tinyedm_tpu.config.registry import deinstantiate
+        from tinyedm_tpu.training.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            out_dir / "ckpt", state,
+            config={"model": deinstantiate(spec), "seed": args.seed},
+        )
+        print(f"checkpoint: {out_dir / 'ckpt'}", flush=True)
     ok = math.isfinite(final_loss) and final_loss < first_loss
     print("RESULT:", "PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)

@@ -402,3 +402,47 @@ def test_export_torch_checkpoint_roundtrip(tmp_path, edm_variables):
     assert set(opt_plain) == {"state", "param_groups"}
     tadam2 = torch.optim.Adam(tparams, lr=spec0.lr, betas=tuple(spec0.betas))
     tadam2.load_state_dict(opt_plain)
+
+
+def test_interop_crosscheck_script(tmp_path, edm_variables):
+    """experiments/interop_crosscheck.py end-to-end at toy scale: train-free
+    checkpoint -> export -> the REFERENCE's torch modules + loss math agree
+    with the jax side on the same batch (the recipe-scale run of the same
+    script is recorded in BENCH.md)."""
+    import dataclasses
+
+    sys_path = str(Path(__file__).resolve().parents[1] / "experiments")
+    import sys
+
+    if sys_path not in sys.path:
+        sys.path.insert(0, sys_path)
+    import interop_crosscheck
+
+    from tinyedm_tpu.config.registry import deinstantiate
+    from tinyedm_tpu.training.checkpoint import save_checkpoint
+    from tinyedm_tpu.training.state import TrainState
+    from tinyedm_tpu.training.train_step import make_adam
+
+    spec0, model, variables = edm_variables
+    spec = dataclasses.replace(spec0, use_ema=True, ema_length=0.13)
+    params = variables["params"]
+    opt_state = make_adam((0.9, 0.999), 1e-8).init(params)
+    # EMA tree distinct from params so --load_ema is a real branch
+    ema_tree = jax.tree_util.tree_map(lambda p: p * 0.9, params)
+    state = TrainState(
+        step=jnp.asarray(11, jnp.int32),
+        params=params,
+        constants=variables["constants"],
+        opt_state=opt_state,
+        ema=(ema_tree,),
+    )
+    save_checkpoint(tmp_path / "ckpt", state, config={"model": deinstantiate(spec)})
+
+    rc = interop_crosscheck.main(
+        ["--ckpt_dir", str(tmp_path / "ckpt"), "--batch", "8"]
+    )
+    assert rc == 0
+    rc = interop_crosscheck.main(
+        ["--ckpt_dir", str(tmp_path / "ckpt"), "--batch", "8", "--load_ema"]
+    )
+    assert rc == 0
