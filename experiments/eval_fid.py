@@ -87,6 +87,7 @@ def _generate_samples(args, sample_dir, ckpt_step=None, ema_index=None) -> None:
         ckpt_path=args.ckpt_path,
         load_ema=args.load_ema,
         output_dir=sample_dir,
+        seed=args.seed,
         num_samples=args.num_samples,
         image_size=args.image_size,
         num_classes=args.num_classes if args.num_classes > 0 else None,
@@ -178,6 +179,45 @@ def _result_note(args, res, tag) -> str:
     return note
 
 
+def _sweep_progress(n_configs: int, args):
+    """Upfront cost summary + per-config ETA for the sweep (the 50k protocol
+    is minutes per configuration on one chip; make the bill visible before
+    the meter starts). Returns a tick(label) callback."""
+    import time
+
+    fwd = (2 * args.num_steps - 1) if args.solver == "heun" else args.num_steps
+    # guided solves run the stacked 2B (cond, guide) forward per step
+    guided = (
+        args.guide_ckpt_path is not None
+        or bool(args.guidance_scales)
+        or args.guidance_scale not in (None, 1.0)
+    )
+    mult = 2 if guided else 1
+    total = n_configs * args.num_samples * fwd * mult
+    print(
+        f"sweep: {n_configs} configs x {args.num_samples} samples x "
+        f"{fwd} solver forwards ({args.solver}, num_steps={args.num_steps})"
+        + (" x2 (guided)" if guided else "")
+        + f" = {total / 1e6:.1f}M model forwards total; "
+        f"shared noise bank (seed {args.seed}) - rows differ by "
+        "model/EMA/guidance only, not sampling noise"
+    )
+    t0 = time.time()
+    done = 0
+
+    def tick(label: str) -> None:
+        nonlocal done
+        done += 1
+        dt = time.time() - t0
+        eta = dt / done * (n_configs - done)
+        print(
+            f"[{done}/{n_configs}] {label}: {dt / done:.0f}s/config avg"
+            + (f", ETA {eta / 60:.1f} min" if done < n_configs else "")
+        )
+
+    return tick
+
+
 def cmd_sweep(args) -> None:
     """Score every checkpoint step (x EMA profile) in one run — checkpoint
     selection by sample quality, the missing half of the reference's
@@ -204,13 +244,15 @@ def cmd_sweep(args) -> None:
         raise SystemExit("--guidance_scales and --posthoc_sigma_rels are "
                          "separate sweep axes - pass one")
     for flag, vals in (("--guidance_scales", args.guidance_scales),
-                       ("--posthoc_sigma_rels", args.posthoc_sigma_rels)):
+                       ("--posthoc_sigma_rels", args.posthoc_sigma_rels),
+                       ("--ema_indices", args.ema_indices if args.load_ema else None)):
         # nargs="*" permits an empty list; falling through to the full
         # every-checkpoint sweep on a swallowed value would silently start
         # hours of unintended generation — error instead
         if vals is not None and not vals:
             raise SystemExit(f"{flag} needs at least one value")
     if args.guidance_scales:
+        tick = _sweep_progress(len(args.guidance_scales), args)
         for scale in args.guidance_scales:
             sdir = base / f"gs{scale:g}"
             sub = argparse.Namespace(**vars(args))
@@ -225,9 +267,11 @@ def cmd_sweep(args) -> None:
             rows.append((f"guidance_scale {scale:g}", res))
             print(f"guidance_scale {scale:g}  FID{tag}: {res['fid']:.3f}"
                   f"{_result_note(args, res, tag)}")
+            tick(f"guidance_scale {scale:g}")
     elif args.posthoc_sigma_rels:
         from tinyedm_tpu.posthoc_ema import reconstruct
 
+        tick = _sweep_progress(len(args.posthoc_sigma_rels), args)
         for sr in args.posthoc_sigma_rels:
             ckpt_dir = base / f"posthoc_{sr:g}" / "ckpt"
             reconstruct(args.ckpt_path, sr, str(ckpt_dir), steps=args.steps)
@@ -239,6 +283,7 @@ def cmd_sweep(args) -> None:
             res = _score_sample_dir(args, sdir, feature_fn)
             rows.append((f"sigma_rel {sr:g}", res))
             print(f"sigma_rel {sr:g}  FID{tag}: {res['fid']:.3f}{_result_note(args, res, tag)}")
+            tick(f"sigma_rel {sr:g}")
     else:
         ckpt_root = Path(args.ckpt_path)
         steps = args.steps or sorted(
@@ -247,6 +292,7 @@ def cmd_sweep(args) -> None:
         if not steps:
             raise SystemExit(f"no checkpoint step directories under {ckpt_root}")
         ema_indices = args.ema_indices if args.load_ema else [None]
+        tick = _sweep_progress(len(steps) * len(ema_indices), args)
         for step in steps:
             for ema_index in ema_indices:
                 name = f"step{step}" + (
@@ -257,6 +303,7 @@ def cmd_sweep(args) -> None:
                 res = _score_sample_dir(args, sdir, feature_fn)
                 rows.append((f"step {step:>8}  ema {ema_index}", res))
                 print(f"step {step:>8}  ema {ema_index}  FID{tag}: {res['fid']:.3f}{_result_note(args, res, tag)}")
+                tick(f"step {step} ema {ema_index}")
     best = min(rows, key=lambda r: r[1]["fid"])
     print(f"BEST: {best[0]} FID{tag}: {best[1]['fid']:.3f}")
 
@@ -293,6 +340,12 @@ def main(argv=None) -> None:
         pc.add_argument("--std", type=float, nargs="+", default=[0.24703223, 0.24348513, 0.26158784])
         pc.add_argument("--sample_dir", default=None)
         pc.add_argument("--features", default=None)
+        pc.add_argument("--seed", type=int, default=0,
+                        help="noise-bank seed. Every sweep configuration "
+                        "solves from the SAME per-index initial noise "
+                        "(common random numbers) — differences between rows "
+                        "are then model/EMA/guidance differences, not "
+                        "sampling noise")
         pc.add_argument("--guidance_scale", type=float, default=None,
                         help="classifier-free guidance scale (conditional models)")
         pc.add_argument("--guide_ckpt_path", default=None,
