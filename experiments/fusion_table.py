@@ -43,29 +43,43 @@ def parse_hlo(path: str):
     # map computation name -> conv summary
     comp_conv: dict[str, tuple] = {}
     cur = None
+    local_shapes: dict[str, tuple] = {}
     for line in txt.splitlines():
         s = line.strip()
         m = re.match(r"%?([\w.\-]+) \([^)]*\) -> .* \{", s)
         if m:
             cur = m.group(1)
+            local_shapes = {}
             continue
         if cur and s == "}":
             cur = None
             continue
+        if cur:
+            # record every instruction's result shape for operand lookup
+            dm = re.match(r"%([\w.\-]+) = (?:\()?(bf16|f32|s32|u32|pred)\[([\d,]*)\]", s)
+            if dm:
+                local_shapes[dm.group(1)] = tuple(
+                    int(x) for x in dm.group(3).split(",") if x
+                )
         if cur and " convolution(" in s:
-            sm = _SHAPE.search(s)
-            out_shape = tuple(int(x) for x in sm.group(2).split(",")) if sm else ()
+            shapes = _SHAPE.findall(s)
+            out_shape = (
+                tuple(int(x) for x in shapes[0][1].split(",")) if shapes else ()
+            )
+            ops = re.search(r"convolution\(%([\w.\-]+), %([\w.\-]+)\)", s)
+            rhs_shape = local_shapes.get(ops.group(2), ()) if ops else ()
             dl = re.search(r"dim_labels=(\S+?),", s)
             win = re.search(r"window=\{([^}]*)\}", s)
             opm = re.search(r'op_name="([^"]*)"', s)
             comp_conv[cur] = (
                 out_shape,
-                sm.group(1) if sm else "?",
+                shapes[0][0] if shapes else "?",
                 dl.group(1) if dl else "?",
                 win.group(1) if win else "",
                 (opm.group(1).split("/")[-2] + "/" + opm.group(1).split("/")[-1])
                 if opm
                 else "",
+                rhs_shape,
             )
     fus: dict[str, tuple] = {}
     for m in re.finditer(r"%(fusion[.\w]*|[\w.\-]*fusion[.\d]*) = [^\n]*?calls=%([\w.\-]+)", txt):
@@ -79,8 +93,11 @@ def parse_hlo(path: str):
     return fus, emitters
 
 
-def conv_flops(out_shape, dim_labels, win) -> float:
-    """2 * out_elems * K * Cin_contract, inferred from dim labels + window."""
+def conv_flops(out_shape, dim_labels, win, rhs_shape) -> float:
+    """FLOPs = 2 x out_elems x (spatial window product x contracted feature
+    size). The contracted feature dim is the rhs position labeled 'i' in
+    dim_labels (lhs_rhs->out); this holds for all three conv forms XLA emits
+    (forward, dgrad as rhs-reversed conv, wgrad as big-window conv)."""
     sizes = re.findall(r"size=(\d+)x(\d+)", win)
     k = 1
     if sizes:
@@ -89,9 +106,12 @@ def conv_flops(out_shape, dim_labels, win) -> float:
     out_elems = 1
     for d in out_shape:
         out_elems *= d
-    # contraction size: for fwd/bwd-input convs the window is 3x3 and the
-    # contracted feature dim isn't in the output; estimate via labels:
-    return out_elems, k
+    try:
+        rhs_labels = dim_labels.split("_")[1].split("-")[0]
+        ci = rhs_shape[rhs_labels.index("i")]
+    except (IndexError, ValueError):
+        return 0.0
+    return 2.0 * out_elems * k * ci
 
 
 def main() -> None:
@@ -104,20 +124,40 @@ def main() -> None:
     fus, emitters = parse_hlo(args.hlo)
 
     rows = []
+    conv_ms = conv_fl = 0.0
+    by_form: dict[str, list[float]] = defaultdict(lambda: [0.0, 0.0])
     for name, ms in sorted(times.items(), key=lambda kv: -kv[1]):
         if ms < args.min_ms:
             continue
         info = fus.get(name)
         if info:
-            out_shape, dt, dl, win, op = info
+            out_shape, dt, dl, win, op, rhs_shape = info
             em = emitters.get(name, "")
-            rows.append((ms, name, f"{dt}{list(out_shape)} {dl} {win[:28]} {op} [{em[4:]}]"))
+            fl = conv_flops(out_shape, dl, win, rhs_shape)
+            tfs = fl / ms * 1e-9 if fl else 0.0
+            conv_ms += ms
+            conv_fl += fl
+            # form key: op kind + out/rhs shapes (groups the per-block copies)
+            by_form[f"{op} {dl} out={list(out_shape)} rhs={list(rhs_shape)}"][0] += ms
+            by_form[f"{op} {dl} out={list(out_shape)} rhs={list(rhs_shape)}"][1] += fl
+            rows.append(
+                (ms, name, f"{tfs:6.0f} TF/s {dt}{list(out_shape)} {dl} {op} [{em[4:]}]")
+            )
         else:
             rows.append((ms, name, ""))
     total = sum(r[0] for r in rows)
     print(f"rows >= {args.min_ms} ms: {len(rows)}, total {total:.1f} ms")
+    if conv_ms:
+        print(
+            f"attributed convs: {conv_ms:.1f} ms, {conv_fl / 1e12:.2f} TFLOP, "
+            f"mean {conv_fl / conv_ms * 1e-9:.0f} TF/s achieved"
+        )
     for ms, name, desc in rows:
         print(f"{ms:8.3f}  {name:42s} {desc[:160]}")
+    if by_form:
+        print("\n== conv roofline by form (ms, TF/s) ==")
+        for form, (ms, fl) in sorted(by_form.items(), key=lambda kv: -kv[1][0]):
+            print(f"{ms:8.2f}  {fl / ms * 1e-9 if fl else 0.0:6.0f} TF/s  {form}")
 
 
 if __name__ == "__main__":
