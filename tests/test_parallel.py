@@ -278,3 +278,73 @@ def test_padded_validation_exact_on_nondivisible_val_set(tmp_path, mesh8):
         losses[name] = trainer.validate()
     assert losses["one"] is not None
     np.testing.assert_allclose(losses["one"], losses["eight"], rtol=1e-6)
+
+
+class TestConstraintHints:
+    """parallel.mesh.constrain / constrain_kernel — the round-4 activation
+    hints that stop GSPMD involuntary remats under TP (VERDICT r3 weak #2).
+    The load-bearing properties: identity outside a constraint mesh AND on
+    single-device meshes (the perf-tuned single-chip trace must not change),
+    value-preserving with the pinned sharding on real multi-device meshes."""
+
+    def test_identity_without_active_mesh(self):
+        from tinyedm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, constrain
+
+        x = jnp.ones((4, 8))
+        assert constrain(x, DATA_AXIS, MODEL_AXIS) is x  # same object: no-op
+
+    def test_identity_on_single_device_mesh(self):
+        from tinyedm_tpu.parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            constrain,
+            constrain_kernel,
+            constraint_mesh,
+        )
+
+        with constraint_mesh(make_mesh(num_devices=1)):
+            x = jnp.ones((4, 8))
+            assert constrain(x, DATA_AXIS, MODEL_AXIS) is x
+            assert constrain_kernel(x) is x
+
+    def test_pins_sharding_and_preserves_values(self, mesh8):
+        from tinyedm_tpu.parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            constrain,
+            constrain_kernel,
+            constraint_mesh,
+            tp_param_spec,
+        )
+        from jax.sharding import NamedSharding
+
+        tp_mesh = make_mesh(model_parallel=2)
+        x = np.arange(32, dtype=np.float32).reshape(8, 4)
+        with constraint_mesh(tp_mesh):
+            out = jax.jit(lambda a: constrain(a, DATA_AXIS, MODEL_AXIS))(x)
+            np.testing.assert_array_equal(np.asarray(out), x)
+            assert out.sharding == NamedSharding(
+                tp_mesh, P(DATA_AXIS, MODEL_AXIS)
+            )
+            # kernel hint: a (features, in) WNLinear kernel pins to its own
+            # TP parameter layout (output channels over the model axis)
+            w = np.arange(24, dtype=np.float32).reshape(6, 4)
+            wk = jax.jit(constrain_kernel)(w)
+            np.testing.assert_array_equal(np.asarray(wk), w)
+            # is_equivalent_to: P('model',) and P('model', None) normalize
+            # to the same placement but compare unequal as objects
+            assert wk.sharding.is_equivalent_to(
+                NamedSharding(tp_mesh, tp_param_spec(w.shape, 2)), w.ndim
+            )
+
+    def test_context_is_scoped(self, mesh8):
+        from tinyedm_tpu.parallel.mesh import (
+            DATA_AXIS,
+            constrain,
+            constraint_mesh,
+        )
+
+        with constraint_mesh(mesh8):
+            pass
+        x = jnp.ones((8,))
+        assert constrain(x, DATA_AXIS) is x  # mesh deactivated on exit
