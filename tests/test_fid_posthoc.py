@@ -528,15 +528,26 @@ class TestProxyFeatures:
         f2 = proxy_features(dim=64, seed=7)(imgs)
         np.testing.assert_array_equal(f1, f2)
 
-    def test_score_cli_requires_explicit_proxy_without_weights(self, tmp_path, capsys):
+    def test_score_cli_requires_explicit_proxy_without_weights(
+        self, tmp_path, capsys, monkeypatch
+    ):
         """With NO inception weights, an un-flagged score run must HARD-FAIL
         (VERDICT r3: a silent proxy number reads downstream as Inception FID);
-        the same run with an explicit --features proxy produces the number."""
+        the same run with an explicit --features proxy produces the number.
+        Real converted weights may exist at DEFAULT_WEIGHTS in this checkout
+        (datasets/inception_v3_pool3.npz), so the no-weights condition is
+        forced by pointing the default at a path that cannot exist."""
         import sys
         from pathlib import Path
 
         sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
         import eval_fid
+
+        import tinyedm_tpu.utils.inception as inception_mod
+
+        monkeypatch.setattr(
+            inception_mod, "DEFAULT_WEIGHTS", tmp_path / "no_such_weights.npz"
+        )
 
         from tinyedm_tpu.utils.fid import compute_stats, proxy_features, save_stats
         from PIL import Image
