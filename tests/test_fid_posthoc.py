@@ -485,13 +485,52 @@ class TestInceptionPort:
                                              "bias": np.zeros(32, np.float32)}}}
         path = tmp_path / "w.npz"
         save_converted(params, path)
-        back, tf_avgpool = load_converted(path)
+        back, tf_avgpool, pretrained = load_converted(path)
         assert tf_avgpool is False  # torchvision semantic by default
+        assert pretrained is False  # unverified unless stamped explicitly
         np.testing.assert_array_equal(back["Conv2d_1a_3x3"]["conv"]["kernel"],
                                       params["Conv2d_1a_3x3"]["conv"]["kernel"])
-        save_converted(params, path, tf_avgpool=True)
-        _, tf_avgpool = load_converted(path)
+        save_converted(params, path, tf_avgpool=True, pretrained=True)
+        _, tf_avgpool, pretrained = load_converted(path)
         assert tf_avgpool is True  # variant flag rides inside the file
+        assert pretrained is True
+
+    def test_unverified_weights_hard_fail_and_explicit_opt_in(self, tmp_path, monkeypatch):
+        """A rehearsal weight file (pretrained=False) sitting at the DEFAULT
+        path must NOT resolve under the default or 'inception' specs — only
+        under the explicit 'inception-unverified' spec. This is the on-disk
+        analog of the proxy hard-fail: in a no-egress environment any file at
+        DEFAULT_WEIGHTS is necessarily a randomized-model conversion."""
+        import tinyedm_tpu.utils.inception as inception_mod
+        from tinyedm_tpu.utils.fid import resolve_feature_fn
+        from tinyedm_tpu.utils.inception import (
+            UnverifiedInceptionWeights,
+            inception_feature_fn,
+            save_converted,
+        )
+
+        # The stamp check runs before any graph work, so stub params suffice.
+        params = {"Conv2d_1a_3x3": {"conv": {"kernel": np.ones((3, 3, 3, 32), np.float32),
+                                             "bias": np.zeros(32, np.float32)}}}
+        path = tmp_path / "rehearsal.npz"
+        save_converted(params, path, tf_avgpool=True)  # no pretrained stamp
+        monkeypatch.setattr(inception_mod, "DEFAULT_WEIGHTS", path)
+
+        with pytest.raises(UnverifiedInceptionWeights, match="inception-unverified"):
+            inception_feature_fn(path)
+        with pytest.raises(UnverifiedInceptionWeights):
+            resolve_feature_fn("inception")
+        with pytest.raises(UnverifiedInceptionWeights):
+            resolve_feature_fn(None)
+        _, kind = resolve_feature_fn("inception-unverified")
+        assert kind == "inception-unverified"
+
+        # the stamped file resolves under the default and explicit specs
+        save_converted(params, path, tf_avgpool=True, pretrained=True)
+        _, kind = resolve_feature_fn(None)
+        assert kind == "inception"
+        _, kind = resolve_feature_fn("inception")
+        assert kind == "inception"
 
 
 class TestProxyFeatures:

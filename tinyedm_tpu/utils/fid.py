@@ -271,17 +271,23 @@ def png_dir_batches(
         yield np.stack(batch)
 
 
-def inception_features(weights_path: Optional[str | Path] = None) -> FeatureFn:
+def inception_features(
+    weights_path: Optional[str | Path] = None, allow_unverified: bool = False
+) -> FeatureFn:
     """Standard FID features: InceptionV3 pool3 (2048-d).
 
     Prefers the TPU-native flax port (utils/inception.py) fed by locally
     converted weights; falls back to torchvision when it is importable and
     its weight cache exists (neither holds in this no-egress build image).
-    Raises FileNotFoundError with conversion instructions otherwise."""
+    Raises FileNotFoundError with conversion instructions otherwise, and
+    UnverifiedInceptionWeights when the local file is a rehearsal conversion
+    lacking the ``pretrained`` provenance stamp (see utils/inception.py)."""
     from tinyedm_tpu.utils.inception import DEFAULT_WEIGHTS, inception_feature_fn
 
     try:
-        return inception_feature_fn(weights_path or DEFAULT_WEIGHTS)
+        return inception_feature_fn(
+            weights_path or DEFAULT_WEIGHTS, allow_unverified=allow_unverified
+        )
     except FileNotFoundError:
         pass
     try:
@@ -324,18 +330,22 @@ def proxy_features(dim: int = 256, seed: int = 0) -> FeatureFn:
 def resolve_feature_fn(spec: Optional[str]) -> tuple[FeatureFn, str]:
     """Resolve a feature-extractor spec shared by the eval CLI and the
     training-time FIDCallback: 'inception' (flax port / torchvision, needs
-    local weights), 'proxy' (always available), a module path exposing
-    ``feature_fn()``, or None = inception, HARD-FAILING when no weights
-    exist. Returns (fn, kind) so scores can be labeled.
+    verified local weights), 'inception-unverified' (same graph, accepts a
+    rehearsal weight file lacking the ``pretrained`` stamp — numbers are NOT
+    Inception FIDs), 'proxy' (always available), a module path exposing
+    ``feature_fn()``, or None = inception, HARD-FAILING when no verified
+    weights exist. Returns (fn, kind) so scores can be labeled.
 
-    There is deliberately no silent proxy fallback: a proxy-FID recorded
-    under the default spec reads downstream as an Inception FID and poisons
-    any parity claim. Scoring with proxy features must be an explicit
-    decision (``--features proxy`` / ``features='proxy'``)."""
+    There is deliberately no silent fallback of any kind: a proxy- or
+    random-weight FID recorded under the default spec reads downstream as an
+    Inception FID and poisons any parity claim. Scoring with anything other
+    than verified Inception weights must be an explicit decision."""
     import importlib
 
     if spec == "inception":
         return inception_features(), "inception"
+    if spec == "inception-unverified":
+        return inception_features(allow_unverified=True), "inception-unverified"
     if spec == "proxy":
         return proxy_features(), "proxy"
     if spec is not None:

@@ -350,37 +350,61 @@ def convert_keras_inception(model) -> dict:
 
 DEFAULT_WEIGHTS = Path("datasets/inception_v3_pool3.npz")
 _VARIANT_KEY = "__tf_avgpool__"
+_PRETRAINED_KEY = "__pretrained__"
+
+
+class UnverifiedInceptionWeights(RuntimeError):
+    """Raised when a converted weight file does not carry the
+    ``pretrained=True`` provenance stamp. In this no-egress environment the
+    only files that can exist at DEFAULT_WEIGHTS are rehearsal conversions of
+    RANDOMIZED keras/torch models; letting one of those feed a default
+    'inception' score would silently poison any FID parity claim (the exact
+    failure mode VERDICT r3 item 1 forbids)."""
 
 
 def save_converted(
-    params: dict, path: str | Path = DEFAULT_WEIGHTS, tf_avgpool: bool = False
+    params: dict,
+    path: str | Path = DEFAULT_WEIGHTS,
+    tf_avgpool: bool = False,
+    pretrained: bool = False,
 ) -> None:
     """Save converted weights; ``tf_avgpool`` records which avg-pool semantic
     the weight lineage was trained under (False for convert_torch_inception
     on torchvision weights, True for convert_keras_inception / TF-slim /
-    TF-FID lineage) so scoring picks the matching graph automatically."""
+    TF-FID lineage) so scoring picks the matching graph automatically.
+
+    ``pretrained`` is a provenance stamp: set it True ONLY when the source
+    model carried real ImageNet weights (torchvision IMAGENET1K_V1 or
+    keras ``weights='imagenet'``). Scoring refuses unstamped files unless
+    unverified use is requested explicitly (see inception_feature_fn)."""
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     arrays = {jax.tree_util.keystr(k): v for k, v in flat}
     arrays[_VARIANT_KEY] = np.asarray(bool(tf_avgpool))
+    arrays[_PRETRAINED_KEY] = np.asarray(bool(pretrained))
     np.savez(path, **arrays)
 
 
-def load_converted(path: str | Path = DEFAULT_WEIGHTS) -> tuple[dict, bool]:
-    """Returns (params, tf_avgpool). Files written before the variant flag
-    existed load as torchvision-semantic (tf_avgpool=False)."""
+def load_converted(path: str | Path = DEFAULT_WEIGHTS) -> tuple[dict, bool, bool]:
+    """Returns (params, tf_avgpool, pretrained). Files written before a flag
+    existed load with that flag False (torchvision-semantic, unverified —
+    any pre-flag file in this environment is a rehearsal conversion)."""
     data = np.load(path)
     params: dict = {}
     tf_avgpool = False
+    pretrained = False
     for key in data.files:
         if key == _VARIANT_KEY:
             tf_avgpool = bool(data[key])
+            continue
+        if key == _PRETRAINED_KEY:
+            pretrained = bool(data[key])
             continue
         node = params
         parts = [p.strip("'") for p in key.replace("]", "").split("['") if p]
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = data[key]
-    return params, tf_avgpool
+    return params, tf_avgpool, pretrained
 
 
 def preprocess_uint8(images: np.ndarray) -> jnp.ndarray:
@@ -395,17 +419,32 @@ def preprocess_uint8(images: np.ndarray) -> jnp.ndarray:
     return (x - 0.5) / 0.5
 
 
-def inception_feature_fn(weights_path: str | Path = DEFAULT_WEIGHTS, batch: int = 64):
+def inception_feature_fn(
+    weights_path: str | Path = DEFAULT_WEIGHTS,
+    batch: int = 64,
+    allow_unverified: bool = False,
+):
     """Jitted uint8-NHWC -> (N, 2048) pool3 features from converted local
     weights. Raises FileNotFoundError when no weights exist (this
-    environment has no egress; see proxy_feature_fn for the fallback)."""
+    environment has no egress; see proxy_feature_fn for the fallback) and
+    UnverifiedInceptionWeights when the file lacks the ``pretrained`` stamp
+    — pass ``allow_unverified=True`` only for pipeline rehearsals whose
+    numbers will never be read as Inception FID."""
     path = Path(weights_path)
     if not path.exists():
         raise FileNotFoundError(
             f"no converted InceptionV3 weights at {path}; run "
             "convert_torch_inception on a torchvision state dict first"
         )
-    params, tf_avgpool = load_converted(path)
+    params, tf_avgpool, pretrained = load_converted(path)
+    if not pretrained and not allow_unverified:
+        raise UnverifiedInceptionWeights(
+            f"{path} is not stamped pretrained=True (it is a rehearsal "
+            "conversion of a randomized model, not real InceptionV3). "
+            "Scores computed with it are NOT Inception FIDs. Pass "
+            "--features inception-unverified (CLI) / allow_unverified=True "
+            "(API) to use it for pipeline rehearsal anyway."
+        )
     model = InceptionV3Pool3(tf_avgpool=tf_avgpool)
     apply = jax.jit(lambda imgs: model.apply({"params": params}, preprocess_uint8(imgs)))
 
