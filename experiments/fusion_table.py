@@ -124,7 +124,8 @@ def main() -> None:
     fus, emitters = parse_hlo(args.hlo)
 
     rows = []
-    conv_ms = conv_fl = 0.0
+    conv_ms = conv_fl = unresolved_ms = 0.0
+    unresolved = 0
     by_form: dict[str, list[float]] = defaultdict(lambda: [0.0, 0.0])
     for name, ms in sorted(times.items(), key=lambda kv: -kv[1]):
         if ms < args.min_ms:
@@ -135,11 +136,18 @@ def main() -> None:
             em = emitters.get(name, "")
             fl = conv_flops(out_shape, dl, win, rhs_shape)
             tfs = fl / ms * 1e-9 if fl else 0.0
-            conv_ms += ms
-            conv_fl += fl
-            # form key: op kind + out/rhs shapes (groups the per-block copies)
-            by_form[f"{op} {dl} out={list(out_shape)} rhs={list(rhs_shape)}"][0] += ms
-            by_form[f"{op} {dl} out={list(out_shape)} rhs={list(rhs_shape)}"][1] += fl
+            if fl:
+                # only FLOP-resolved rows enter the roofline denominators —
+                # a 0-FLOP row (operand shape the HLO regexes could not
+                # resolve) would silently deflate "mean TF/s achieved"
+                conv_ms += ms
+                conv_fl += fl
+                form = f"{op} {dl} out={list(out_shape)} rhs={list(rhs_shape)}"
+                by_form[form][0] += ms
+                by_form[form][1] += fl
+            else:
+                unresolved += 1
+                unresolved_ms += ms
             rows.append(
                 (ms, name, f"{tfs:6.0f} TF/s {dt}{list(out_shape)} {dl} {op} [{em[4:]}]")
             )
@@ -151,6 +159,12 @@ def main() -> None:
         print(
             f"attributed convs: {conv_ms:.1f} ms, {conv_fl / 1e12:.2f} TFLOP, "
             f"mean {conv_fl / conv_ms * 1e-9:.0f} TF/s achieved"
+        )
+    if unresolved:
+        print(
+            f"WARNING: {unresolved} conv rows ({unresolved_ms:.1f} ms) had "
+            "unresolvable operand shapes and are EXCLUDED from the roofline "
+            "numbers above"
         )
     for ms, name, desc in rows:
         print(f"{ms:8.3f}  {name:42s} {desc[:160]}")

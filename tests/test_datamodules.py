@@ -271,3 +271,55 @@ class TestResizeGolden:
 
         imgs = np.arange(2 * 32 * 32 * 3, dtype=np.uint8).reshape(2, 32, 32, 3)
         assert _resize_batch(imgs, 32) is imgs
+
+
+class TestImageNetLatentsPackedLayouts:
+    """Round-4 continuation: the .latpack fast path in
+    ImageNetLatentsDataModule._load_split must (a) refuse ambiguous
+    multi-pack directories instead of silently training on the
+    alphabetically-first shard, and (b) recognize a packed-ONLY split dir
+    (npy dirs deleted after packing to reclaim space)."""
+
+    @staticmethod
+    def _pack_split(root, n, offset=0, keep_npy=False):
+        from tinyedm_tpu.data import latpack
+
+        TestImageNetLatentsLayouts._write_split(root, n, offset=offset)
+        latpack.pack(root / "latents", root / "labels", root / "data.latpack")
+        if not keep_npy:
+            import shutil
+
+            shutil.rmtree(root / "latents")
+            shutil.rmtree(root / "labels")
+
+    def test_packed_only_split_layout(self, tmp_path):
+        from tinyedm_tpu.data.datamodules import ImageNetLatentsDataModule
+
+        self._pack_split(tmp_path / "train", 6)
+        self._pack_split(tmp_path / "val", 2, offset=100)
+        dm = ImageNetLatentsDataModule(batch_size=2, data_dir=str(tmp_path))
+        dm.setup()
+        assert dm.train_images.shape == (6, 8, 8, 4)
+        assert list(dm.val_labels) == [100, 101]
+
+    def test_packed_single_dir_layout(self, tmp_path):
+        from tinyedm_tpu.data.datamodules import ImageNetLatentsDataModule
+
+        self._pack_split(tmp_path, 8)
+        dm = ImageNetLatentsDataModule(
+            batch_size=2, data_dir=str(tmp_path), val_fraction=0.25
+        )
+        dm.setup()
+        assert len(dm.train_images) == 6
+        assert len(dm.val_images) == 2
+
+    def test_multiple_packs_refused(self, tmp_path):
+        import shutil
+
+        from tinyedm_tpu.data.datamodules import ImageNetLatentsDataModule
+
+        self._pack_split(tmp_path, 4, keep_npy=True)
+        shutil.copy(tmp_path / "data.latpack", tmp_path / "old.latpack")
+        dm = ImageNetLatentsDataModule(batch_size=2, data_dir=str(tmp_path))
+        with pytest.raises(ValueError, match="multiple .latpack"):
+            dm.setup()

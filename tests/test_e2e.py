@@ -970,3 +970,24 @@ def test_resume_skip_does_not_materialize_consumed_batches(tmp_path):
     # one batch for the abstract-state probe (restore's eval_shape) + the
     # single remaining batch — NOT the 3 consumed ones
     assert len(gathered) == 2, gathered
+
+
+def test_fid_callback_start_validation_raises_on_all_ranks(tmp_path, monkeypatch):
+    """Round-4 continuation fix: on_train_start's fail-loudly validation must
+    run on EVERY process — a rank-0-only raise would leave the other hosts
+    entering the train loop and hanging in the first collective. Simulated by
+    making this process claim rank 1: the missing stats file must still
+    raise."""
+    import jax as _jax
+
+    from tinyedm_tpu.training.callbacks import FIDCallback
+
+    cb = FIDCallback(
+        solver=DeterministicSolver(num_steps=2),
+        img_shape=(1, 8, 8),
+        stats_path=str(tmp_path / "does_not_exist.npz"),
+        features="proxy",
+    )
+    monkeypatch.setattr(_jax, "process_index", lambda: 1)
+    with pytest.raises(FileNotFoundError):
+        cb.on_train_start(trainer=None)  # validation needs no trainer state

@@ -348,3 +348,116 @@ class TestConstraintHints:
             pass
         x = jnp.ones((8,))
         assert constrain(x, DATA_AXIS) is x  # mesh deactivated on exit
+
+
+class TestConstraintCacheTransitions:
+    """Round-4 continuation fix: jax's inner trace caches (remat/custom_vjp
+    jaxprs, keyed on (function, avals) only) must be cleared on EVERY
+    transition of the constraint-mesh state — in both directions. The
+    original fix cleared only when the NEW plan was multi-device, so a
+    multi-device trace followed by a single-device plan with identical avals
+    could reuse constraint-laden jaxprs pinned to the (now dead) mesh."""
+
+    def test_clears_on_transitions_both_directions(self, monkeypatch):
+        import tinyedm_tpu.parallel.mesh as M
+
+        calls = []
+        monkeypatch.setattr(M.jax, "clear_caches", lambda: calls.append(1))
+        monkeypatch.setattr(M, "_last_constraint_trace_key", None)
+        single = ShardingPlan(make_mesh(num_devices=1))
+        multi = ShardingPlan(make_mesh())
+
+        f = lambda *a: None  # noqa: E731
+        single._with_constraint_mesh(f)
+        assert len(calls) == 0  # trivial state unchanged: never clears
+        multi._with_constraint_mesh(f)
+        assert len(calls) == 1  # trivial -> (8,1)
+        multi._with_constraint_mesh(f)
+        assert len(calls) == 1  # same mesh again: stable, no churn
+        single._with_constraint_mesh(f)
+        assert len(calls) == 2  # (8,1) -> trivial: the reverse direction
+        single._with_constraint_mesh(f)
+        assert len(calls) == 2
+        multi._with_constraint_mesh(f)
+        assert len(calls) == 3
+
+    def test_mesh_shape_change_counts_as_transition(self, monkeypatch):
+        import tinyedm_tpu.parallel.mesh as M
+
+        calls = []
+        monkeypatch.setattr(M.jax, "clear_caches", lambda: calls.append(1))
+        monkeypatch.setattr(M, "_last_constraint_trace_key", None)
+        f = lambda *a: None  # noqa: E731
+        ShardingPlan(make_mesh())._with_constraint_mesh(f)
+        ShardingPlan(make_mesh(model_parallel=2))._with_constraint_mesh(f)
+        assert len(calls) == 2  # (8,1) -> (4,2) re-bakes the constraints
+
+    @pytest.mark.slow
+    def test_tp_trace_then_single_device_trace_stays_correct(self):
+        """End to end in the dangerous order: trace the full train step under
+        a TP (4,2) plan FIRST, then build a single-device plan for the same
+        model with identical avals, and check the single-device result
+        against ground truth computed by a bare jax.jit (no plan machinery
+        at all). Before the fix the second trace could reuse TP-pinned
+        jaxprs."""
+        model = tiny_model()
+        diffuser = Diffuser(-1.2, 1.2)
+        cfg = OptimizerConfig(lr=1e-3, rampup_steps=1, steady_steps=2)
+        img = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 8, 1))
+        labels = np.zeros((16,), np.int32)
+
+        # 1) TP plan traced first (bakes NamedSharding(4,2) constraints)
+        tp_mesh = make_mesh(model_parallel=2)
+        tp_state = replicate_state(
+            tp_mesh, init_train_state(jax.random.PRNGKey(1), model, img, cfg)
+        )
+        tp_step = ShardingPlan(tp_mesh).jit_train_step(
+            make_train_step(model, diffuser, cfg), state=tp_state
+        )
+        tp_state, tp_metrics = tp_step(
+            tp_state,
+            shard_batch(tp_mesh, (np.asarray(img), labels)),
+            jax.random.PRNGKey(2),
+            jnp.asarray(0.0),
+        )
+
+        # 2) single-device plan second — identical avals, constraint-free
+        mesh1 = make_mesh(num_devices=1)
+        state1 = replicate_state(
+            mesh1, init_train_state(jax.random.PRNGKey(1), model, img, cfg)
+        )
+        step1 = ShardingPlan(mesh1).jit_train_step(
+            make_train_step(model, diffuser, cfg)
+        )
+        state1, metrics1 = step1(
+            state1,
+            shard_batch(mesh1, (np.asarray(img), labels)),
+            jax.random.PRNGKey(2),
+            jnp.asarray(0.0),
+        )
+
+        # 3) ground truth: bare jit, no ShardingPlan anywhere
+        ref_state = init_train_state(jax.random.PRNGKey(1), model, img, cfg)
+        ref_step = jax.jit(make_train_step(model, diffuser, cfg))
+        ref_state, ref_metrics = ref_step(
+            ref_state,
+            (jnp.asarray(img), jnp.asarray(labels)),
+            jax.random.PRNGKey(2),
+            jnp.asarray(0.0),
+        )
+
+        np.testing.assert_allclose(
+            float(metrics1["train_loss"]), float(ref_metrics["train_loss"]),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(tp_metrics["train_loss"]), float(ref_metrics["train_loss"]),
+            rtol=1e-5,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state1.params),
+            jax.tree_util.tree_leaves(ref_state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )

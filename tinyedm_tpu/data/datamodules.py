@@ -307,13 +307,23 @@ class ImageNetLatentsDataModule(AbstractDataModule):
         return self._num_classes
 
     @staticmethod
-    def _load_split(root: Path) -> tuple[np.ndarray, np.ndarray]:
+    def _load_split(root: Path, num_workers: int = 16) -> tuple[np.ndarray, np.ndarray]:
         # A packed store (data/latpack.py CLI output) beside the npy dirs is
         # preferred: one sequential mmap read instead of per-file opens. At
         # true ImageNet scale prefer PackedLatentsDataModule outright — it
         # streams batches from the mmap with per-host sharding instead of
         # materializing the dataset in RAM.
         packs = sorted(root.glob("*.latpack"))
+        if len(packs) > 1:
+            # refuse to guess: silently training on the alphabetically-first
+            # shard of a multi-file set (or a stale pack beside a fresh one)
+            # is a data bug, not a preference
+            raise ValueError(
+                f"multiple .latpack files under {root}: "
+                f"{[p.name for p in packs]} - keep exactly one per split "
+                "(repack with data/latpack.py, or point data_dir at the one "
+                "you mean)"
+            )
         if packs:
             from tinyedm_tpu.data.latpack import PackedLatents
 
@@ -339,23 +349,34 @@ class ImageNetLatentsDataModule(AbstractDataModule):
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=16) as pool:
+        with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
             pairs = list(pool.map(load_one, files, chunksize=256))
         return np.stack([p[0] for p in pairs]), np.asarray(
             [p[1] for p in pairs], np.int64
         )
 
+    @staticmethod
+    def _is_split_dir(root: Path) -> bool:
+        # a split dir holds either npy dirs or a packed store (the npy dirs
+        # may have been deleted after packing)
+        return (root / "latents").is_dir() or any(root.glob("*.latpack"))
+
     def setup(self, stage: str = "fit") -> None:
-        if (self.data_dir / "train" / "latents").is_dir():
+        # IO parallelism follows the datamodule's num_workers knob (floor 4:
+        # num_workers=0 means "no worker processes", not "serial file IO")
+        workers = max(4, self.num_workers)
+        if self._is_split_dir(self.data_dir / "train"):
             # reference layout: separate train/ and val/ extraction dirs
             # (imagenet_latents_datamodule.py:43-45)
             self.train_images, self.train_labels = self._load_split(
-                self.data_dir / "train"
+                self.data_dir / "train", workers
             )
-            self.val_images, self.val_labels = self._load_split(self.data_dir / "val")
+            self.val_images, self.val_labels = self._load_split(
+                self.data_dir / "val", workers
+            )
             return
         # single-dir layout: carve a val fraction off the tail
-        images, labels = self._load_split(self.data_dir)
+        images, labels = self._load_split(self.data_dir, workers)
         n_val = max(1, int(len(images) * self.val_fraction))
         self.train_images, self.train_labels = images[:-n_val], labels[:-n_val]
         self.val_images, self.val_labels = images[-n_val:], labels[-n_val:]

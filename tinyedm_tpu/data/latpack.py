@@ -177,18 +177,26 @@ class PendingGather:
         return self._out, self._labels
 
     def __del__(self):
+        # finalizers can never raise — but the data-corruption-class failure
+        # (an abandoned gather with out-of-range rows) must not vanish
+        # silently either: surface it as a warning, swallow everything else
+        # (interpreter-shutdown finalization can fail in mundane ways).
         try:
             self.wait()  # never leave native threads writing into freed numpy
         except IndexError:
-            # data-corruption-class: an abandoned gather had out-of-range rows.
-            # Finalizers can't raise, but this must not vanish silently.
-            import warnings
+            try:
+                import warnings
 
-            warnings.warn(
-                "latpack: abandoned async gather failed with index out of "
-                "range — a dropped generator was reading past the store",
-                RuntimeWarning,
-            )
+                warnings.warn(
+                    "latpack: abandoned async gather failed with index out "
+                    "of range — a dropped generator was reading past the "
+                    "store",
+                    RuntimeWarning,
+                )
+            except Exception:
+                pass
+        except Exception:
+            pass
 
 
 class PackedLatentsDataModule:

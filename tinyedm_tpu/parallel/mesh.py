@@ -38,6 +38,11 @@ _constraint_mesh: ContextVar[Optional[Mesh]] = ContextVar(
     "constraint_mesh", default=None
 )
 
+# Constraint state of the last step trace in this process (None = trivial /
+# single-device). ShardingPlan clears jax's inner trace caches on every
+# TRANSITION of this key, in both directions — see _with_constraint_mesh.
+_last_constraint_trace_key: Optional[tuple] = None
+
 
 @contextlib.contextmanager
 def constraint_mesh(mesh: Optional[Mesh]):
@@ -348,20 +353,35 @@ class ShardingPlan:
         """Wrap a step so its Python body (= the trace) runs with this plan's
         mesh active for ``constrain`` hints. Zero overhead after tracing.
 
-        When the mesh spans more than one device, the inner trace caches are
-        cleared first: jax's remat/custom_vjp jaxpr caches are keyed on
-        (function, avals) only, so a block traced earlier in the process
-        under a single-device (or differently-shaped) mesh — where
-        ``constrain`` no-ops or bakes different shardings — would be REUSED
-        here with identical avals and silently drop or corrupt the activation
+        The inner trace caches are cleared whenever the effective constraint
+        state CHANGES between plans: jax's remat/custom_vjp jaxpr caches are
+        keyed on (function, avals) only, so a block traced earlier in the
+        process under a different constraint mesh — where ``constrain``
+        no-ops or bakes different shardings — would be REUSED here with
+        identical avals and silently drop or corrupt the activation
         constraints (observed as trace-order-dependent SPMD involuntary-
-        rematerialization warnings on the dryrun meshes). One cleared cache
-        costs a retrace at jit-creation time; a sharded-step compile dwarfs
-        it, and the single-chip path never pays it."""
+        rematerialization warnings on the dryrun meshes). The transition is
+        tracked in BOTH directions — multi→single traces matter too, or the
+        single-device jit would inherit constraint-laden jaxprs pinned to a
+        dead mesh. A process that only ever builds single-device plans (the
+        perf-tuned single-chip path) never clears."""
         import functools
 
-        if self.mesh.devices.size > 1:
+        global _last_constraint_trace_key
+        key = (
+            None
+            if self.mesh.devices.size <= 1
+            else (
+                self.mesh.axis_names,
+                self.mesh.devices.shape,
+                # device identity too: a same-shaped mesh over OTHER devices
+                # still invalidates cached constraints (they hold the mesh)
+                tuple(d.id for d in self.mesh.devices.flat),
+            )
+        )
+        if key != _last_constraint_trace_key:
             jax.clear_caches()
+            _last_constraint_trace_key = key
 
         @functools.wraps(fn)
         def wrapped(*args):

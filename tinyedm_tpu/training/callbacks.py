@@ -221,11 +221,15 @@ class FIDCallback(Callback):
         self._kind = None
 
     def on_train_start(self, trainer) -> None:
-        if jax.process_index() != 0:
-            return
         # fail loudly at fit start, not at the first (possibly hours-away)
         # eval — both for the stats file AND the feature extractor (a missing
-        # Inception weight file raises here instead of silently degrading)
+        # Inception weight file raises here instead of silently degrading).
+        # Deliberately NOT guarded on process_index: a rank-0-only raise
+        # would leave the other hosts entering the train loop and hanging in
+        # the first collective. All hosts validate (stats/weight files must
+        # be readable on every host, the usual multi-controller contract) so
+        # a bad config kills the whole job cleanly. Scoring itself stays
+        # rank-0-only (on_train_epoch_end).
         from tinyedm_tpu.utils.fid import load_features, load_stats, resolve_feature_fn
 
         self._feature_fn, self._kind = resolve_feature_fn(self.features)
