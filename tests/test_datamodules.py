@@ -215,6 +215,17 @@ class TestImageNetLatentsLayouts:
         assert len(dm.train_images) == 6
         assert len(dm.val_images) == 2
 
+    def test_train_without_val_split_errors_clearly(self, tmp_path):
+        """A train/ split with no val/ sibling must fail with a message
+        naming the expected train/+val/ layout, not a confusing
+        'no latents under .../val/latents' (round-5 ADVICE low #2)."""
+        from tinyedm_tpu.data.datamodules import ImageNetLatentsDataModule
+
+        self._write_split(tmp_path / "train", 4)
+        dm = ImageNetLatentsDataModule(batch_size=2, data_dir=str(tmp_path))
+        with pytest.raises(FileNotFoundError, match="train/\\+val/ layout"):
+            dm.setup()
+
 
 class TestResizeGolden:
     """_resize_batch (PIL bilinear) vs torch F.interpolate(antialias=True) —

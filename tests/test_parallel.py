@@ -368,17 +368,17 @@ class TestConstraintCacheTransitions:
         multi = ShardingPlan(make_mesh())
 
         f = lambda *a: None  # noqa: E731
-        single._with_constraint_mesh(f)
+        single._with_constraint_mesh(f)()
         assert len(calls) == 0  # trivial state unchanged: never clears
-        multi._with_constraint_mesh(f)
+        multi._with_constraint_mesh(f)()
         assert len(calls) == 1  # trivial -> (8,1)
-        multi._with_constraint_mesh(f)
+        multi._with_constraint_mesh(f)()
         assert len(calls) == 1  # same mesh again: stable, no churn
-        single._with_constraint_mesh(f)
+        single._with_constraint_mesh(f)()
         assert len(calls) == 2  # (8,1) -> trivial: the reverse direction
-        single._with_constraint_mesh(f)
+        single._with_constraint_mesh(f)()
         assert len(calls) == 2
-        multi._with_constraint_mesh(f)
+        multi._with_constraint_mesh(f)()
         assert len(calls) == 3
 
     def test_mesh_shape_change_counts_as_transition(self, monkeypatch):
@@ -388,9 +388,35 @@ class TestConstraintCacheTransitions:
         monkeypatch.setattr(M.jax, "clear_caches", lambda: calls.append(1))
         monkeypatch.setattr(M, "_last_constraint_trace_key", None)
         f = lambda *a: None  # noqa: E731
-        ShardingPlan(make_mesh())._with_constraint_mesh(f)
-        ShardingPlan(make_mesh(model_parallel=2))._with_constraint_mesh(f)
+        ShardingPlan(make_mesh())._with_constraint_mesh(f)()
+        ShardingPlan(make_mesh(model_parallel=2))._with_constraint_mesh(f)()
         assert len(calls) == 2  # (8,1) -> (4,2) re-bakes the constraints
+
+    def test_transition_tracked_in_trace_order_not_wrap_order(
+        self, monkeypatch
+    ):
+        """Round-5 ADVICE fix: jaxpr caches are populated at TRACE (first
+        call) time, so the transition check must follow call order, not
+        construction order. Build both steps up front, then trace multi
+        first and single second — each first TRACE must clear, and wrapping
+        alone must clear nothing."""
+        import tinyedm_tpu.parallel.mesh as M
+
+        calls = []
+        monkeypatch.setattr(M.jax, "clear_caches", lambda: calls.append(1))
+        monkeypatch.setattr(M, "_last_constraint_trace_key", None)
+        f = lambda *a: None  # noqa: E731
+        multi_step = ShardingPlan(make_mesh())._with_constraint_mesh(f)
+        single_step = ShardingPlan(
+            make_mesh(num_devices=1)
+        )._with_constraint_mesh(f)
+        assert len(calls) == 0  # wrapping populates no caches: no clears
+        multi_step()
+        assert len(calls) == 1  # first trace under (8,1): transition
+        single_step()
+        assert len(calls) == 2  # single trace after multi: must re-clear
+        multi_step()  # a RE-trace (new avals) transitions again
+        assert len(calls) == 3
 
     @pytest.mark.slow
     def test_tp_trace_then_single_device_trace_stays_correct(self):

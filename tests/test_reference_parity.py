@@ -219,3 +219,48 @@ class TestSolverParity:
             mine.solve(lambda x, s, l: f(x, s), jnp.asarray(x0))
         )
         np.testing.assert_allclose(out_mine, out_ref, rtol=1e-4, atol=1e-5)
+
+
+class TestDenoiserWrapperParity:
+    def test_wrapper_matches_reference(self, ref):
+        """DenoiserWrapper (networks.py:608-647) element-wise vs the
+        reference, wrapping the same nontrivial parameter-free net in both
+        frameworks. What's under test is the wrapper's own math: the
+        c_skip/c_out/c_in coefficients, c_noise = ln(sigma)/4 handed to the
+        net flattened to (B,), and D = c_skip*x + c_out*F."""
+        import flax.linen as nn
+
+        from tinyedm_tpu.models.unet import DenoiserWrapper
+
+        def f(cx, c_noise, emb):  # framework-agnostic inner net math
+            # uses all three wrapper-supplied inputs, nonlinearly
+            return cx * (1.0 + c_noise.reshape(-1, 1, 1, 1)) + 0.25 * (
+                cx**2
+            ) * emb.mean(-1).reshape(-1, 1, 1, 1)
+
+        class FlaxNet(nn.Module):
+            def __call__(self, cx, c_noise, emb):
+                return f(cx, c_noise, emb)
+
+        class TorchNet(torch.nn.Module):
+            def forward(self, cx, c_noise, emb):
+                return f(cx, c_noise, emb)
+
+        sigma_data = 0.5
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((4, 6, 6, 3)).astype(np.float32)
+        sigma = np.exp(rng.normal(-1.2, 1.2, size=(4,))).astype(np.float32)
+        emb = rng.standard_normal((4, 16)).astype(np.float32)
+
+        mine = DenoiserWrapper(net=FlaxNet(), sigma_data=sigma_data)
+        out_mine = np.asarray(
+            mine.apply({"params": {}}, jnp.asarray(x), jnp.asarray(sigma), jnp.asarray(emb))
+        )
+
+        theirs = ref.DenoiserWrapper(TorchNet(), sigma_data).eval()
+        assert theirs.sigma_data == sigma_data  # property surface parity
+        with torch.no_grad():
+            out_ref = theirs(
+                t(x.transpose(0, 3, 1, 2)), t(sigma), t(emb)
+            ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(out_mine, out_ref, rtol=1e-5, atol=1e-6)

@@ -368,6 +368,15 @@ class ImageNetLatentsDataModule(AbstractDataModule):
         if self._is_split_dir(self.data_dir / "train"):
             # reference layout: separate train/ and val/ extraction dirs
             # (imagenet_latents_datamodule.py:43-45)
+            if not self._is_split_dir(self.data_dir / "val"):
+                raise FileNotFoundError(
+                    f"{self.data_dir}/train looks like a split dir but "
+                    f"{self.data_dir}/val does not: the reference train/+val/ "
+                    "layout needs both splits (each holding latents/+labels/ "
+                    "npy dirs or a *.latpack store). Extract a val split, or "
+                    "point data_dir directly at the single extraction dir to "
+                    f"carve a val fraction ({self.val_fraction}) off its tail."
+                )
             self.train_images, self.train_labels = self._load_split(
                 self.data_dir / "train", workers
             )

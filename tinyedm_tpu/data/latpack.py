@@ -195,8 +195,19 @@ class PendingGather:
                 )
             except Exception:
                 pass
-        except Exception:
-            pass
+        except Exception as e:
+            # native gather errors besides out-of-range are also
+            # data-corruption-class — warn (best-effort) rather than vanish;
+            # only the warn itself may fail silently (interpreter shutdown)
+            try:
+                import warnings
+
+                warnings.warn(
+                    f"latpack: abandoned async gather failed: {e!r}",
+                    RuntimeWarning,
+                )
+            except Exception:
+                pass
 
 
 class PackedLatentsDataModule:

@@ -25,7 +25,8 @@ def karras_sigma_schedule(
     num_steps: int, sigma_min: float, sigma_max: float, rho: float
 ) -> np.ndarray:
     """t_i = (sigma_max^(1/rho) + i/(n-1) * (sigma_min^(1/rho) - sigma_max^(1/rho)))^rho,
-    with a trailing 0 (reference: solvers.py:34-41). fp64 on host, then fp32."""
+    with a trailing 0 (reference: solvers.py:34-41). Computed and RETURNED in
+    fp64 on host; consumers cast to the solver's state dtype at jit entry."""
     i = np.arange(num_steps, dtype=np.float64)
     t = (
         sigma_max ** (1.0 / rho)

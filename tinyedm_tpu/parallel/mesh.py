@@ -354,7 +354,7 @@ class ShardingPlan:
         mesh active for ``constrain`` hints. Zero overhead after tracing.
 
         The inner trace caches are cleared whenever the effective constraint
-        state CHANGES between plans: jax's remat/custom_vjp jaxpr caches are
+        state CHANGES between traces: jax's remat/custom_vjp jaxpr caches are
         keyed on (function, avals) only, so a block traced earlier in the
         process under a different constraint mesh — where ``constrain``
         no-ops or bakes different shardings — would be REUSED here with
@@ -364,10 +364,18 @@ class ShardingPlan:
         tracked in BOTH directions — multi→single traces matter too, or the
         single-device jit would inherit constraint-laden jaxprs pinned to a
         dead mesh. A process that only ever builds single-device plans (the
-        perf-tuned single-chip path) never clears."""
+        perf-tuned single-chip path) never clears.
+
+        The check runs inside ``wrapped`` — i.e. at TRACE time, not at
+        jit-wrap time — because the jaxpr caches are populated when a step is
+        first *called*, not when it is built: two plans can be constructed
+        back-to-back and then traced in the opposite order, and only the
+        trace order determines which cached jaxprs a trace would reuse. The
+        clear happens before ``fn`` runs, so every inner jaxpr this trace
+        caches is baked under the correct constraint mesh; re-traces (new
+        avals) re-check, since they too populate fresh cache entries."""
         import functools
 
-        global _last_constraint_trace_key
         key = (
             None
             if self.mesh.devices.size <= 1
@@ -379,12 +387,13 @@ class ShardingPlan:
                 tuple(d.id for d in self.mesh.devices.flat),
             )
         )
-        if key != _last_constraint_trace_key:
-            jax.clear_caches()
-            _last_constraint_trace_key = key
 
         @functools.wraps(fn)
         def wrapped(*args):
+            global _last_constraint_trace_key
+            if key != _last_constraint_trace_key:
+                jax.clear_caches()
+                _last_constraint_trace_key = key
             with constraint_mesh(self.mesh):
                 return fn(*args)
 
