@@ -32,9 +32,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tinyedm_tpu.parallel.mesh import (  # noqa: E402
     ShardingPlan,
     make_mesh,
+    place_state,
     replicated,
     shard_batch,
 )
+
+
+def _assemble(x) -> np.ndarray:
+    """Reassemble a (possibly sharded) global array from the process's
+    addressable shards. Valid here because the data axis replicates every
+    model-axis shard into both processes (TP pairs sit within a process)."""
+    out = np.zeros(x.shape, np.asarray(x.addressable_shards[0].data).dtype)
+    for s in x.addressable_shards:
+        out[s.index] = np.asarray(s.data)
+    return out
 
 
 def main() -> None:
@@ -78,6 +89,79 @@ def main() -> None:
     out = plan.jit_eval_step(lambda state, b, rng: metric(b))(None, batch, None)
     np.testing.assert_allclose(float(out["sse"]), (images * images).sum(), rtol=1e-6)
     np.testing.assert_allclose(float(out["count"]), global_batch)
+
+    # ---- phase 2: multihost x TP x zero1 as one real program (VERDICT r4
+    # next #8). A (data=4, model=2) mesh whose data axis SPANS the two
+    # processes while TP pairs sit within each process; the full train step
+    # (forced renorm, Adam, EMA, psum'd metrics) runs with ZeRO-1 sharded
+    # optimizer state, and the result is checked against a bare
+    # single-device step on the same full batch.
+    from tests.test_train_step import tiny_model  # noqa: E402
+
+    from tinyedm_tpu.diffusion.diffuser import Diffuser  # noqa: E402
+    from tinyedm_tpu.training.ema import EMAConfig  # noqa: E402
+    from tinyedm_tpu.training.train_step import (  # noqa: E402
+        OptimizerConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    mesh42 = make_mesh(model_parallel=2)
+    assert dict(mesh42.shape) == {"data": 4, "model": 2}
+    # TP pairs are consecutive devices -> within one process (4 local devs)
+    for row in mesh42.devices:
+        assert row[0].process_index == row[1].process_index
+
+    model = tiny_model()
+    diffuser = Diffuser(-1.2, 1.2)
+    cfg = OptimizerConfig(lr=1e-3, rampup_steps=1, steady_steps=2)
+    ema_cfg = EMAConfig(sigma_rels=(0.13,))
+    img = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 8, 1))
+    labs16 = np.zeros((16,), np.int32)
+
+    state = place_state(
+        mesh42,
+        init_train_state(jax.random.PRNGKey(1), model, img, cfg, ema_cfg),
+        zero1=True,
+    )
+    step = ShardingPlan(mesh42, zero1=True).jit_train_step(
+        make_train_step(model, diffuser, cfg, ema_cfg), state=state
+    )
+    tp_batch = shard_batch(mesh42, (np.asarray(img), labs16))
+    state, metrics = step(
+        state, tp_batch, jax.random.PRNGKey(2), jnp.asarray(0.0)
+    )
+    jax.block_until_ready(state)
+    assert int(state.step) == 1
+
+    # ground truth: bare jit on this process's local device, full batch
+    ref_state = init_train_state(jax.random.PRNGKey(1), model, img, cfg, ema_cfg)
+    ref_step = jax.jit(make_train_step(model, diffuser, cfg, ema_cfg))
+    ref_state, ref_metrics = ref_step(
+        ref_state,
+        (jnp.asarray(img), jnp.asarray(labs16)),
+        jax.random.PRNGKey(2),
+        jnp.asarray(0.0),
+    )
+    np.testing.assert_allclose(
+        float(metrics["train_loss"]),
+        float(ref_metrics["train_loss"]),
+        rtol=1e-4,
+    )
+    assert float(metrics["count"]) == 16.0  # global count across processes
+    # an updated TP-sharded kernel, reassembled from local shards, matches
+    # the single-device update (tolerance = float reduction order)
+    w = _assemble(state.params["denoiser"]["conv_in"]["w"])
+    np.testing.assert_allclose(
+        w, np.asarray(ref_state.params["denoiser"]["conv_in"]["w"]),
+        rtol=2e-4, atol=2e-6,
+    )
+    # zero1 moment shards really span the mesh (not replicated)
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(leaf, "sharding") and leaf.ndim > 0
+    )
 
     print(f"MULTIHOST_OK process={process_id}", flush=True)
 
