@@ -55,14 +55,40 @@ def main() -> None:
     parser.add_argument("--mod_fp32", choices=["true", "false"], default="true")
     parser.add_argument("--rampup", type=int, default=500,
                         help="LR rampup steps (the reference recipe always ramps)")
+    parser.add_argument("--steady", type=int, default=None,
+                        help="steady-phase steps; with --decay this makes the "
+                        "soak cross the steady->decay boundary (the regime the "
+                        "1700-epoch recipe spends most of its life in). "
+                        "Default: the whole run is steady (legacy behavior)")
+    parser.add_argument("--decay", type=int, default=0,
+                        help="inverse-sqrt decay steps to run PAST the steady "
+                        "phase; total steps = rampup + steady + decay")
     parser.add_argument("--lr", type=float, default=0.02)
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tag", default="soak")
+    parser.add_argument("--ckpt_every", type=int, default=0,
+                        help="save an orbax checkpoint (trainer layout: "
+                        "checkpoints/<step>/, embedded config) every N steps — "
+                        "feeds eval_fid sweep and --resume")
+    parser.add_argument("--stop_at", type=int, default=None,
+                        help="stop cleanly after this step (checkpoint saved "
+                        "if --ckpt_every); rerun with --resume to continue")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore the latest checkpoints/<step>/ and "
+                        "continue the same schedule (the resume-in-decay "
+                        "rehearsal: the LR trace must stay on the formula)")
     parser.add_argument("--save_ckpt", action="store_true",
                         help="save an orbax checkpoint (with embedded config) "
                         "at the end — feeds experiments/interop_crosscheck.py")
     args = parser.parse_args()
+
+    if args.decay and args.steady is None:
+        parser.error("--decay needs --steady (total = rampup + steady + decay)")
+    steady_steps = args.steady if args.steady is not None else args.steps
+    total_steps = (
+        args.rampup + args.steady + args.decay if args.decay else args.steps
+    )
 
     import jax
     import jax.numpy as jnp
@@ -81,8 +107,9 @@ def main() -> None:
             f"model.denoiser.mod_fp32={args.mod_fp32}",
             f"model.lr={args.lr}",
             f"model.rampup_steps={args.rampup}",
-            # hold lr steady for the whole run (no decay inside the window)
-            f"model.steady_steps={args.steps}",
+            # without --decay: hold lr steady for the whole run; with it:
+            # the run crosses rampup->steady AND steady->decay boundaries
+            f"model.steady_steps={steady_steps}",
             "model.scheduler_interval=step",
         ],
     )
@@ -95,7 +122,17 @@ def main() -> None:
     out_dir = Path("runs") / f"soak_{args.tag}"
     out_dir.mkdir(parents=True, exist_ok=True)
     log_path = out_dir / "metrics.jsonl"
-    log_f = open(log_path, "w")
+    log_f = open(log_path, "a" if args.resume else "w")
+
+    # the reference scheduler's exact lr_lambda (edm.py:305-320), in numpy:
+    # the emitted learning_rate trace is checked point-for-point against it
+    def ref_lr(step: int) -> float:
+        if step < args.rampup:
+            return args.lr * (1e-8 + (1.0 - 1e-8) * step / max(args.rampup, 1))
+        if step < args.rampup + steady_steps:
+            return args.lr
+        decay_step = step - args.rampup - steady_steps
+        return args.lr / math.sqrt(1.0 + decay_step / steady_steps)
 
     templates = make_templates()
     num_classes = templates.shape[0]
@@ -120,41 +157,92 @@ def main() -> None:
         ema_cfg,
         sample_labels=jnp.zeros((args.batch,), jnp.int32) if conditional else None,
     )
+
+    ckpt_mngr = None
+    if args.ckpt_every or args.resume:
+        from tinyedm_tpu.config.registry import deinstantiate
+        from tinyedm_tpu.training.checkpoint import CheckpointManager
+
+        ckpt_mngr = CheckpointManager(
+            out_dir / "checkpoints", max_to_keep=None, monitor=None
+        )
+        ckpt_config = {"model": deinstantiate(spec), "seed": args.seed}
+
+    start_step = 0
+    if args.resume:
+        restored, _ = ckpt_mngr.restore(abstract_state=state)
+        state = restored
+        start_step = int(state.step)
+        print(f"soak: resumed at step {start_step} "
+              f"({'decay' if start_step >= args.rampup + steady_steps else 'pre-decay'} phase)",
+              flush=True)
+
     step = jax.jit(make_train_step(model, diffuser, opt_cfg, ema_cfg), donate_argnums=0)
     key = jax.random.PRNGKey(args.seed + 1)
 
-    print(f"soak: {args.steps} steps, mod_fp32={args.mod_fp32}, lr {args.lr} "
-          f"(rampup {args.rampup}), batch {args.batch} -> {log_path}", flush=True)
+    stop_step = min(args.stop_at, total_steps) if args.stop_at else total_steps
+    # dense logging around both phase boundaries: the LR trace at the
+    # rampup->steady and steady->decay transitions is the evidence VERDICT
+    # r4 next #3 asks for
+    boundaries = {args.rampup, args.rampup + steady_steps}
+    def logged(i):
+        return (i % 100 == 0 or i == stop_step - 1
+                or any(abs(i - b) <= 2 for b in boundaries))
+
+    print(f"soak: steps {start_step}..{stop_step} of {total_steps} "
+          f"(rampup {args.rampup} / steady {steady_steps} / decay "
+          f"{total_steps - args.rampup - steady_steps}), "
+          f"mod_fp32={args.mod_fp32}, lr {args.lr}, batch {args.batch} "
+          f"-> {log_path}", flush=True)
     first_loss = None
+    lr_checked = 0
     t_start = time.time()
     t_warm = None
-    for i in range(args.steps):
+    for i in range(start_step, stop_step):
         images, cls = draw_batch()
         batch = (jnp.asarray(images), jnp.asarray(cls) if conditional else None)
         state, m = step(state, batch, key, jnp.asarray(float(i)))
-        if i == 0:
+        if i == start_step:
             # host sync so warmup excludes compile time
             _ = float(m["train_loss"])
             t_warm = time.time()
-        if i % 100 == 0 or i == args.steps - 1:
+        if logged(i):
             loss = float(m["train_loss"])
+            lr = float(m["learning_rate"])
             if first_loss is None:
                 first_loss = loss
-            rec = {"step": i, "train_loss": loss,
-                   "lr": float(m["learning_rate"]),
+            expect = ref_lr(i)
+            if not math.isclose(lr, expect, rel_tol=5e-5, abs_tol=1e-12):
+                print(f"RESULT: FAIL (lr off formula at step {i}: "
+                      f"emitted {lr!r} vs reference {expect!r})", flush=True)
+                sys.exit(1)
+            lr_checked += 1
+            rec = {"step": i, "train_loss": loss, "lr": lr,
                    "elapsed_s": round(time.time() - t_start, 1)}
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
-            print(f"step {i}: loss {loss:.4f}", flush=True)
+            print(f"step {i}: loss {loss:.4f} lr {lr:.6f}", flush=True)
             if not math.isfinite(loss):
                 print("RESULT: FAIL (non-finite loss)", flush=True)
                 sys.exit(1)
+        if ckpt_mngr and args.ckpt_every and (
+            (i + 1) % args.ckpt_every == 0 or i == stop_step - 1
+        ):
+            ckpt_mngr.save(i + 1, state, config=ckpt_config)
+    if ckpt_mngr:
+        ckpt_mngr.wait()
+        ckpt_mngr.close()
     final_loss = float(m["train_loss"])
     elapsed = time.time() - t_warm
-    sps = (args.steps - 1) * args.batch / elapsed
+    steps_run = stop_step - start_step
+    sps = max(steps_run - 1, 1) * args.batch / elapsed
     summary = {
-        "mod_fp32": args.mod_fp32, "steps": args.steps,
+        "mod_fp32": args.mod_fp32, "steps": stop_step,
+        "rampup": args.rampup, "steady": steady_steps,
+        "decay": total_steps - args.rampup - steady_steps,
+        "resumed_at": start_step if args.resume else None,
         "first_loss": first_loss, "final_loss": final_loss,
+        "lr_points_on_formula": lr_checked,
         "samples_per_s": round(sps, 1),
     }
     (out_dir / "summary.json").write_text(json.dumps(summary, indent=1))
@@ -168,7 +256,9 @@ def main() -> None:
             config={"model": deinstantiate(spec), "seed": args.seed},
         )
         print(f"checkpoint: {out_dir / 'ckpt'}", flush=True)
-    ok = math.isfinite(final_loss) and final_loss < first_loss
+    # a short resumed tail sits on the loss plateau; descent is asserted for
+    # fresh runs, finiteness + the point-for-point LR formula for all runs
+    ok = math.isfinite(final_loss) and (args.resume or final_loss < first_loss)
     print("RESULT:", "PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)
 
