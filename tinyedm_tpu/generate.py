@@ -300,7 +300,16 @@ def generate(
     for f in pending:
         f.result()
     pool.shutdown()
-    print(f"wrote {done} images to {output_dir} in {time.time()-t0:.1f}s")
+    elapsed = time.time() - t0
+    print(f"wrote {done} images to {output_dir} in {elapsed:.1f}s "
+          f"({done / elapsed:.1f} img/s end-to-end incl. PNG IO)")
+    try:  # protocol-scale accounting (50k runs); not all backends report
+        mstats = jax.local_devices()[0].memory_stats() or {}
+        peak = mstats.get("peak_bytes_in_use")
+        if peak:
+            print(f"[generate] device peak HBM: {peak / 2**30:.2f} GiB")
+    except Exception:
+        pass
 
 
 def main(argv=None) -> None:
