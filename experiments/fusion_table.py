@@ -119,6 +119,14 @@ def main() -> None:
     ap.add_argument("--tracedir", default="/tmp/tinyedm_profile")
     ap.add_argument("--hlo", default="/tmp/train_step_hlo.txt")
     ap.add_argument("--min-ms", type=float, default=0.15)
+    ap.add_argument("--peak-tfs", type=float, default=250.0,
+                    help="physical sanity bound: a row whose naive "
+                    "window-size FLOP count implies more than this is a "
+                    "transposed-contraction form (full-padding window with "
+                    "rhs_reversal, e.g. 1x1 dgrads at 64x64) whose padding "
+                    "zeros the regex cannot see — excluded from the roofline "
+                    "denominators instead of inflating them (v5e bf16 peak "
+                    "is ~197 TF/s)")
     args = ap.parse_args()
     times = load_trace_times(args.tracedir)
     fus, emitters = parse_hlo(args.hlo)
@@ -136,6 +144,16 @@ def main() -> None:
             em = emitters.get(name, "")
             fl = conv_flops(out_shape, dl, win, rhs_shape)
             tfs = fl / ms * 1e-9 if fl else 0.0
+            if fl and tfs > args.peak_tfs:
+                unresolved += 1
+                unresolved_ms += ms
+                rows.append(
+                    (ms, name,
+                     f"FLOPs-unresolved (naive {tfs:.0f} TF/s > peak; "
+                     f"transposed form) {dt}{list(out_shape)} {dl} {op} "
+                     f"[{em[4:]}]")
+                )
+                continue
             if fl:
                 # only FLOP-resolved rows enter the roofline denominators —
                 # a 0-FLOP row (operand shape the HLO regexes could not
