@@ -326,6 +326,39 @@ def test_generate_cli_roundtrip(tmp_path):
     assert len(sorted(ms_dir.glob("*.png"))) == 4
 
 
+def test_device_denormalize_matches_host_writer(tmp_path):
+    """The jitted uint8 tail (generate.py device_denormalize_uint8) must
+    produce the same PNGs as PreditionWriter's host float path — same
+    formula, all-f32, so any divergence is at most the 1-level rounding
+    XLA's fma contraction can introduce."""
+    from PIL import Image
+
+    from tinyedm_tpu.generate import CIFAR10_MEAN, CIFAR10_STD, device_denormalize_uint8
+    from tinyedm_tpu.training.callbacks import PreditionWriter
+
+    rng = np.random.default_rng(7)
+    # span the clip boundaries: solver outputs live roughly in [-2, 2]
+    batch = rng.uniform(-2.5, 2.5, size=(8, 16, 16, 3)).astype(np.float32)
+
+    host_dir, dev_dir = tmp_path / "host", tmp_path / "dev"
+    PreditionWriter(host_dir, "batch", CIFAR10_MEAN, CIFAR10_STD).write_batch(
+        batch, list(range(8))
+    )
+    dev_u8 = np.asarray(
+        jax.jit(device_denormalize_uint8, static_argnums=(1, 2))(
+            jnp.asarray(batch), CIFAR10_MEAN, CIFAR10_STD
+        )
+    )
+    assert dev_u8.dtype == np.uint8
+    PreditionWriter(dev_dir, "batch", CIFAR10_MEAN, CIFAR10_STD).write_batch(
+        dev_u8, list(range(8))
+    )
+    for i in range(8):
+        a = np.asarray(Image.open(host_dir / f"{i}.png"), np.int16)
+        b = np.asarray(Image.open(dev_dir / f"{i}.png"), np.int16)
+        assert np.abs(a - b).max() <= 1
+
+
 def test_generate_callback_with_guidance(tmp_path):
     """Training-time previews can sample with CFG (GenerateCallback
     guidance_scale) — the natural preview mode for label-dropout runs."""

@@ -327,8 +327,15 @@ class PreditionWriter:
     def write_batch(self, prediction: np.ndarray, batch_indices: Sequence[int]) -> None:
         from PIL import Image
 
-        images = np.asarray(prediction, np.float32) * self.std * 2.0 + self.mean
-        images = np.clip(images, 0.0, 1.0) * 255.0
-        images = images.astype(np.uint8)  # NHWC already
+        prediction = np.asarray(prediction)
+        if prediction.dtype == np.uint8:
+            # already denormalized on device (generate.py maps the solver
+            # output through the same formula in the jitted tail so only
+            # uint8 crosses the device->host boundary)
+            images = prediction
+        else:
+            images = prediction.astype(np.float32) * self.std * 2.0 + self.mean
+            images = np.clip(images, 0.0, 1.0) * 255.0
+            images = images.astype(np.uint8)  # NHWC already
         for index, image in zip(batch_indices, images):
             Image.fromarray(image.squeeze()).save(self.output_dir / f"{index}.png")
