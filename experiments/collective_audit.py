@@ -3,9 +3,15 @@
 Compiles the train step (and optionally the sampler) for a shipped config on
 a virtual N-device CPU mesh and prints every communication collective in the
 optimized HLO with payload bytes and per-chip wire bytes (ring algorithm
-estimates: all-reduce 2(n-1)/n x payload, all-gather/reduce-scatter
-(n-1)/n x payload). Source for the table in docs/PERFORMANCE.md and the
-positive assertions in tests/test_collective_audit.py.
+estimates, payload = HLO result bytes: all-reduce 2(n-1)/n x payload,
+all-gather (n-1)/n x payload, reduce-scatter (n-1) x payload (its result is
+the 1/n shard of the reduced input), all-to-all (n-1)/n x payload,
+collective-permute exactly its payload once). Collectives inside while-loop
+bodies (lax.scan — e.g. the sampler's Heun scan) appear once in the static
+HLO but execute once per trip; they are totaled separately with a per-trip
+label so the wire number is never silently understated by the trip count.
+Source for the table in docs/PERFORMANCE.md and the positive assertions in
+tests/test_collective_audit.py.
 
 Usage:
   python experiments/collective_audit.py --config cifar10 --batch 32
@@ -48,12 +54,7 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
 
     from tinyedm_tpu.config.registry import instantiate, load_config
-    from tinyedm_tpu.parallel.audit import (
-        collective_inventory,
-        format_inventory,
-        group_shape,
-        inventory_summary,
-    )
+    from tinyedm_tpu.parallel.audit import collective_inventory, while_body_computations
     from tinyedm_tpu.parallel.mesh import (
         ShardingPlan,
         batch_sharding,
@@ -100,12 +101,15 @@ def main() -> None:
         .as_text()
     )
     inv = collective_inventory(txt)
-    _report("train step", inv, param_bytes, mesh)
+    _report("train step", inv, param_bytes, mesh, while_body_computations(txt))
 
     if args.sampler:
         from tinyedm_tpu.diffusion.solver import DeterministicSolver
 
         solver = DeterministicSolver(num_steps=4)
+        # sample from EMA weights like the generate CLI; configs without an
+        # EMA profile (use_ema: false) sample from the train params
+        sample_params = state.ema[0] if state.ema else state.params
 
         def sample(params, constants, x0, labs):
             return solver.solve(
@@ -119,7 +123,7 @@ def main() -> None:
         sample_j = jax.jit(
             sample,
             in_shardings=(
-                jax.tree_util.tree_map(lambda a: a.sharding, state.ema[0]),
+                jax.tree_util.tree_map(lambda a: a.sharding, sample_params),
                 jax.tree_util.tree_map(lambda a: a.sharding, state.constants),
                 batch_sharding(mesh),
                 batch_sharding(mesh),
@@ -129,7 +133,7 @@ def main() -> None:
         print("compiling sampler ...", flush=True)
         stxt = (
             sample_j.lower(
-                state.ema[0],
+                sample_params,
                 state.constants,
                 shard_batch(mesh, np.zeros((bsz, size, size, ch), np.float32)),
                 shard_batch(mesh, labels),
@@ -138,10 +142,33 @@ def main() -> None:
             .as_text()
         )
         _report("sampler (4-step Heun scan)", collective_inventory(stxt),
-                param_bytes, mesh)
+                param_bytes, mesh, while_body_computations(stxt))
 
 
-def _report(tag, inv, param_bytes, mesh):
+def _wire_bytes(c, mesh, group_shape):
+    """Ring-algorithm per-chip wire estimate for one collective.
+
+    Payload = HLO result bytes. all-reduce moves 2(n-1)/n x payload
+    (reduce-scatter + all-gather halves); all-gather's result is the full
+    gathered array, (n-1)/n of which transits the wire; reduce-scatter's
+    result is the 1/n output shard, so the wire carries (n-1) x that; an
+    all-to-all result is the per-chip shard, (n-1)/n of it leaves the chip;
+    a collective-permute sends its payload exactly once regardless of group
+    size (point-to-point, no ring)."""
+    gs = group_shape(c)
+    n = gs[1] if gs else mesh.devices.size
+    if c.kind == "all-reduce":
+        return c.bytes * 2 * (n - 1) / n
+    if c.kind == "all-gather":
+        return c.bytes * (n - 1) / n
+    if c.kind == "reduce-scatter":
+        return c.bytes * (n - 1)
+    if c.kind == "all-to-all":
+        return c.bytes * (n - 1) / n
+    return float(c.bytes)  # collective-permute
+
+
+def _report(tag, inv, param_bytes, mesh, loop_bodies=frozenset()):
     from tinyedm_tpu.parallel.audit import (
         format_inventory,
         group_shape,
@@ -150,17 +177,22 @@ def _report(tag, inv, param_bytes, mesh):
 
     print(f"\n===== {tag} =====")
     print(f"summary: {inventory_summary(inv)}")
-    wire = 0.0
-    for c in inv:
-        gs = group_shape(c)
-        n = gs[1] if gs else mesh.devices.size
-        factor = 2 * (n - 1) / n if c.kind == "all-reduce" else (n - 1) / n
-        wire += c.bytes * factor
+    once = [c for c in inv if c.computation not in loop_bodies]
+    looped = [c for c in inv if c.computation in loop_bodies]
+    wire = sum(_wire_bytes(c, mesh, group_shape) for c in once)
     print(
         f"payload total: {sum(c.bytes for c in inv)/1e6:.2f} MB; "
-        f"ring-estimate wire bytes/chip/step: {wire/1e6:.2f} MB "
-        f"(params: {param_bytes/1e6:.2f} MB fp32)"
+        f"ring-estimate wire bytes/chip/step (loop bodies excluded): "
+        f"{wire/1e6:.2f} MB (params: {param_bytes/1e6:.2f} MB fp32)"
     )
+    if looped:
+        lw = sum(_wire_bytes(c, mesh, group_shape) for c in looped)
+        print(
+            f"PLUS {len(looped)} collective(s) inside while-loop bodies "
+            f"(lax.scan): {lw/1e6:.2f} MB wire/chip PER TRIP — multiply by "
+            f"the trip count (an n-step Heun solve scans n-1 trips) for "
+            f"bytes per execution"
+        )
     print(format_inventory(inv))
 
 

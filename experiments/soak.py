@@ -136,9 +136,14 @@ def main() -> None:
 
     templates = make_templates()
     num_classes = templates.shape[0]
-    rng_np = np.random.default_rng(args.seed)
 
-    def draw_batch():
+    # position-indexed data stream: batch i comes from a generator seeded
+    # (seed, i), so a --resume at step k draws the same batches k, k+1, ...
+    # an unbroken run would have — a sequential default_rng(seed) would
+    # restart the stream on resume and re-train on already-consumed batches,
+    # silently changing the data law vs a non-stopped run
+    def draw_batch(i: int):
+        rng_np = np.random.default_rng((args.seed, i))
         cls = rng_np.integers(0, num_classes, args.batch)
         noise = rng_np.normal(scale=0.1, size=(args.batch, 32, 32, 3)).astype(np.float32)
         return templates[cls] + noise, cls.astype(np.int32)
@@ -181,6 +186,17 @@ def main() -> None:
     key = jax.random.PRNGKey(args.seed + 1)
 
     stop_step = min(args.stop_at, total_steps) if args.stop_at else total_steps
+    if start_step >= stop_step:
+        # resumed checkpoint already at/past the stop point: nothing to
+        # train — exit cleanly instead of falling through to the summary
+        # with no step ever run (unbound metrics / None warm timer)
+        if ckpt_mngr:
+            ckpt_mngr.close()
+        log_f.close()
+        print(f"soak: resumed step {start_step} >= stop step {stop_step}; "
+              f"nothing to do", flush=True)
+        print("RESULT: PASS", flush=True)
+        sys.exit(0)
     # dense logging around both phase boundaries: the LR trace at the
     # rampup->steady and steady->decay transitions is the evidence VERDICT
     # r4 next #3 asks for
@@ -199,7 +215,7 @@ def main() -> None:
     t_start = time.time()
     t_warm = None
     for i in range(start_step, stop_step):
-        images, cls = draw_batch()
+        images, cls = draw_batch(i)
         batch = (jnp.asarray(images), jnp.asarray(cls) if conditional else None)
         state, m = step(state, batch, key, jnp.asarray(float(i)))
         if i == start_step:

@@ -291,11 +291,60 @@ ENTRY %main {
         assert ar.op_name == "jit(train_step)/grad"
         assert ag.bytes == 256 * 72 * 4
         assert group_shape(ag) == (4, 2)
-        # async start counted once (tuple duplicates operands+results)
+        # async pair counted once, payload from the -done's result (the
+        # start's own tuple is backend-dependent)
         assert start.bytes == 8 * 4
         assert group_shape(start) == (2, 2)
         assert cp.bytes == 16 * 4
         assert group_shape(cp) is None  # source_target_pairs, not groups
+
+    def test_async_start_payload_comes_from_done_result(self):
+        # all-gather-start's tuple is (operand, result): the operand is the
+        # 1/n shard, so halving the tuple would report ~0.56x the gathered
+        # bytes. The -done result is the collective's true output.
+        hlo = """\
+HloModule jit_async
+ENTRY %main {
+  %ags = (f32[32,8]{1,0}, f32[256,8]{1,0}) all-gather-start(%p), channel_id=1, replica_groups=[1,8]<=[8], dimensions={0}
+  %agd = f32[256,8]{1,0} all-gather-done(%ags)
+  %ars = f32[128]{0} all-reduce-start(%q), channel_id=2, replica_groups=[1,8]<=[8], to_apply=%add
+  %ard = f32[128]{0} all-reduce-done(%ars)
+}
+"""
+        inv = collective_inventory(hlo)
+        assert [c.kind for c in inv] == ["all-gather", "all-reduce"]
+        ag, ar = inv
+        assert ag.bytes == 256 * 8 * 4  # full gathered result, not 0.56x
+        assert ag.shapes == ("f32[256,8]",)
+        # bare-result all-reduce-start: halving would have reported 256 B
+        assert ar.bytes == 128 * 4
+
+    def test_loop_body_collectives_are_attributed(self):
+        # a lax.scan body is a while-loop body computation: its collectives
+        # execute once per trip, so the audit must be able to tell them
+        # apart from entry-level ones
+        from tinyedm_tpu.parallel.audit import while_body_computations
+
+        hlo = """\
+HloModule jit_scan
+%body.7 (p: (f32[8]{0}, s32[])) -> (f32[8]{0}, s32[]) {
+  %psum = f32[8]{0} all-reduce(%x), channel_id=3, replica_groups=[4,2]<=[8], to_apply=%add
+}
+%cond.9 (p: (f32[8]{0}, s32[])) -> pred[] {
+  %lt = pred[] compare(%i, %n), direction=LT
+}
+ENTRY %main {
+  %w = (f32[8]{0}, s32[]) while(%init), condition=%cond.9, body=%body.7
+  %ar = f32[64]{0} all-reduce(%g), channel_id=4, replica_groups=[1,8]<=[8], to_apply=%add
+}
+"""
+        bodies = while_body_computations(hlo)
+        assert bodies == {"body.7"}
+        inv = collective_inventory(hlo)
+        assert [(c.name, c.computation) for c in inv] == [
+            ("psum", "body.7"),
+            ("ar", "main"),
+        ]
 
     def test_done_and_operand_references_do_not_match(self):
         inv = collective_inventory(self.HLO)

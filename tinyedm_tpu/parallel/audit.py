@@ -21,8 +21,12 @@ Parsing notes: instruction lines look like
 
 The result type is a single shape or a tuple; payload bytes = sum of element
 counts x dtype width over the result shapes. Async pairs (``all-reduce-start``
-/ ``all-reduce-done``) are counted once, at the ``-start``; on the CPU test
-backend XLA emits the sync forms.
+/ ``all-reduce-done``) are counted once, at the ``-start``, with the payload
+taken from the matching ``-done``'s result — the start's own result tuple is
+backend-dependent (an (operand, result) pair for all-gather-start, a bare
+result shape for all-reduce-start on some backends), so the done result is
+the only shape that consistently equals the collective's output. On the CPU
+test backend XLA emits the sync forms.
 """
 
 from __future__ import annotations
@@ -71,6 +75,14 @@ _DEF_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*")
 _KIND_RE = re.compile(
     r"\s(" + "|".join(COLLECTIVE_KINDS) + r")(-start)?\("
 )
+# completion of an async pair: "%done = f32[8]{0} all-reduce-done(%start)"
+_DONE_RE = re.compile(
+    r"\s(?:" + "|".join(COLLECTIVE_KINDS) + r")-done\(\s*%?([\w.\-]+)\s*\)"
+)
+# computation header: "%body.3 (p: f32[8]) -> f32[8] {" or "ENTRY %main ... {"
+_COMP_RE = re.compile(r"^(?:ENTRY\s+)?%([\w.\-]+)\s*(?:\([^)]*\))?.*\{\s*$")
+# while-loop body attribute on a while instruction
+_WHILE_BODY_RE = re.compile(r"\bbody=%?([\w.\-]+)")
 
 
 def _shape_bytes(dtype: str, dims: str) -> int:
@@ -92,14 +104,59 @@ class Collective:
     bytes: int  # payload bytes (sum over result shapes)
     replica_groups: str  # e.g. "[1,8]<=[8]"
     op_name: str  # metadata op_name (jax provenance), may be ""
+    computation: str = ""  # enclosing HLO computation (for loop-body checks)
+
+
+def while_body_computations(hlo_text: str) -> set[str]:
+    """Names of computations that are while-loop bodies (lax.scan /
+    lax.while_loop lower to these). A collective whose ``computation`` is in
+    this set executes ONCE PER TRIP, so static inventories count it once but
+    a bytes-per-execution estimate must multiply by the trip count — see
+    experiments/collective_audit.py, which reports loop-body collectives
+    separately for exactly this reason. Nested scans are covered because
+    every while instruction's ``body=`` lands in the set regardless of which
+    computation the while itself sits in."""
+    return set(_WHILE_BODY_RE.findall(hlo_text))
+
+
+def _parse_result_shapes(result_type: str) -> tuple[list[str], int]:
+    shapes = []
+    total = 0
+    for sm in _SHAPE_RE.finditer(result_type):
+        dtype, dims = sm.group(1), sm.group(2)
+        if dtype not in _DTYPE_BYTES:
+            continue
+        shapes.append(f"{dtype}[{dims}]")
+        total += _shape_bytes(dtype, dims)
+    return shapes, total
 
 
 def collective_inventory(hlo_text: str) -> list[Collective]:
     """All communication collectives in an optimized-HLO dump, in program
     order. Use ``compiled.as_text()`` from an AOT ``.lower(...).compile()``.
     """
+    lines = hlo_text.splitlines()
+    # pass 1: each async pair's true payload is the -done result (the start's
+    # own tuple is backend-dependent: (operand, result) for all-gather-start,
+    # bare result for all-reduce-start on some backends)
+    done_bytes: dict[str, tuple[tuple[str, ...], int]] = {}
+    for line in lines:
+        d = _DEF_RE.match(line)
+        if d is None:
+            continue
+        dn = _DONE_RE.search(line, d.end())
+        if dn is None:
+            continue
+        shapes, total = _parse_result_shapes(line[d.end() : dn.start()])
+        done_bytes[dn.group(1)] = (tuple(shapes), total)
+
     out: list[Collective] = []
-    for line in hlo_text.splitlines():
+    comp = ""
+    for line in lines:
+        cm = _COMP_RE.match(line)
+        if cm is not None:
+            comp = cm.group(1)
+            continue
         d = _DEF_RE.match(line)
         if d is None:
             continue
@@ -110,22 +167,19 @@ def collective_inventory(hlo_text: str) -> list[Collective]:
         if k is None:
             continue
         name, kind, start = d.group(1), k.group(1), k.group(2)
-        result_type = line[d.end() : k.start()]
         # a "-done" definition is the completion of a "-start" already
         # counted; its own name carries the kind so _KIND_RE won't match it
         # (the "-done(" suffix fails "(-start)?\(")
-        shapes = []
-        total = 0
-        for sm in _SHAPE_RE.finditer(result_type):
-            dtype, dims = sm.group(1), sm.group(2)
-            if dtype not in _DTYPE_BYTES:
-                continue
-            shapes.append(f"{dtype}[{dims}]")
-            total += _shape_bytes(dtype, dims)
+        shapes, total = _parse_result_shapes(line[d.end() : k.start()])
         if start:
-            # async start results duplicate (operands, results): halve so the
-            # payload is counted once
-            total //= 2
+            if name in done_bytes:
+                shapes, total = done_bytes[name]
+                shapes = list(shapes)
+            else:
+                # unmatched start (truncated dump): fall back to halving the
+                # start tuple — exact for the (operand, result) duplicate
+                # form, approximate otherwise
+                total //= 2
         # iota form "[G,S]<=[8]" (with optional transpose suffix) or the
         # explicit "{{0,1},{2,3}}" form; both contain commas, so capture up
         # to the next ", key=" attribute instead of the next comma
@@ -139,6 +193,7 @@ def collective_inventory(hlo_text: str) -> list[Collective]:
                 bytes=total,
                 replica_groups=rg.group(1) if rg else "",
                 op_name=op.group(1) if op else "",
+                computation=comp,
             )
         )
     return out
