@@ -799,3 +799,32 @@ def test_sweep_empty_value_list_errors(tmp_path):
                 "--sample_dir", str(tmp_path), "--features", "tests.fake_features",
                 flag,
             ])
+
+
+def test_png_dir_batches_threaded_order_tail_and_early_close(tmp_path):
+    """The threaded decode pipeline must yield batches byte-identical to the
+    serial path (sorted paths, submit-order pops), keep the ragged tail
+    batch, and not leave a parked producer thread when the consumer
+    abandons the generator early."""
+    from PIL import Image
+
+    for i in range(10):
+        Image.fromarray(np.full((4, 4, 3), i * 20, np.uint8)).save(
+            tmp_path / f"{i:03d}.png"
+        )
+    batches = list(png_dir_batches(tmp_path, batch_size=4))
+    assert [b.shape[0] for b in batches] == [4, 4, 2]
+    flat = np.concatenate(batches)
+    assert [int(im[0, 0, 0]) for im in flat] == [i * 20 for i in range(10)]
+
+    # early abandonment: close after one batch; the stop event must unblock
+    # the producer (a hang here fails the suite's timeout, not this assert)
+    gen = png_dir_batches(tmp_path, batch_size=2, prefetch=1)
+    first = next(gen)
+    assert first.shape == (2, 4, 4, 3)
+    gen.close()
+
+    # empty dir yields nothing
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert list(png_dir_batches(empty)) == []

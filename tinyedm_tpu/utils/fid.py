@@ -21,6 +21,36 @@ import numpy as np
 FeatureFn = Callable[[np.ndarray], np.ndarray]
 
 
+def _feature_stream(features_or_batches, feature_fn: Optional[FeatureFn]):
+    """Yield feature arrays per input batch. When the feature fn exposes the
+    async dispatch/gather protocol (see utils/inception.py), one chunk of
+    device work is kept in flight while the previous chunk's features are
+    forced to host. Feature VALUES are identical either way; only the
+    overlap changes. Measured honestly (BENCH.md round 5): on the tunneled
+    chip the extraction loop runs ~620-820 img/s with minute-scale variance
+    that swamps the overlap's gain — the round trips this hides are worth
+    ~1 readback latency per chunk, which matters on latency-symmetric
+    links, not this one. Kept because it is value-identical, tested, and
+    the natural shape for the path."""
+    it = features_or_batches
+    if isinstance(it, np.ndarray):
+        it = [it]
+    dispatch = getattr(feature_fn, "dispatch", None)
+    gather = getattr(feature_fn, "gather", None)
+    if feature_fn is None or dispatch is None or gather is None:
+        for batch in it:
+            yield np.asarray(feature_fn(batch) if feature_fn is not None else batch)
+        return
+    pending = None
+    for batch in it:
+        handles = dispatch(batch)
+        if pending is not None:
+            yield gather(pending)
+        pending = handles
+    if pending is not None:
+        yield gather(pending)
+
+
 def compute_stats(
     features_or_batches, feature_fn: Optional[FeatureFn] = None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -29,11 +59,7 @@ def compute_stats(
     n = 0
     s = None
     ss = None
-    it = features_or_batches
-    if isinstance(it, np.ndarray):
-        it = [it]
-    for batch in it:
-        f = np.asarray(feature_fn(batch) if feature_fn is not None else batch)
+    for f in _feature_stream(features_or_batches, feature_fn):
         f = f.astype(np.float64)
         if s is None:
             s = np.zeros(f.shape[1])
@@ -63,11 +89,7 @@ def compute_stats_and_features(
     s = None
     ss = None
     reservoir: list[np.ndarray] = []
-    it = features_or_batches
-    if isinstance(it, np.ndarray):
-        it = [it]
-    for batch in it:
-        f = np.asarray(feature_fn(batch) if feature_fn is not None else batch)
+    for f in _feature_stream(features_or_batches, feature_fn):
         f64 = f.astype(np.float64)
         if s is None:
             s = np.zeros(f64.shape[1])
@@ -252,23 +274,99 @@ def load_features(path: str | Path) -> Optional[np.ndarray]:
 
 
 def png_dir_batches(
-    directory: str | Path, batch_size: int = 256
+    directory: str | Path,
+    batch_size: int = 256,
+    workers: int = 8,
+    prefetch: int = 2,
 ) -> Iterator[np.ndarray]:
-    """Stream a directory of images (e.g. generate.py output) as uint8 NHWC."""
+    """Stream a directory of images (e.g. generate.py output) as uint8 NHWC.
+
+    Decoding runs on ``workers`` threads (PIL's PNG inflate releases the
+    GIL) and up to ``prefetch`` whole batches are assembled ahead of the
+    consumer on a separate thread, so the jitted feature extractor never
+    waits on host decode. At 32x32 protocol scale decode is cheap (50k
+    PNGs decode in ~7 s; the extraction stage is tunnel-dispatch-bound —
+    BENCH.md round 5), but for 299²-class source images (ImageNet
+    reference stats) single-threaded decode is ~10x the per-image cost and
+    would serialize with the device without this. Order is deterministic
+    (sorted paths; the bounded submission window pops futures in submit
+    order), so feature streams are byte-identical to the serial path."""
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
     paths = sorted(
         p for p in Path(directory).iterdir() if p.suffix.lower() in (".png", ".jpg")
     )
-    batch = []
-    for p in paths:
+
+    def _decode(p: Path) -> np.ndarray:
         with Image.open(p) as im:
-            batch.append(np.asarray(im.convert("RGB")))
-        if len(batch) == batch_size:
-            yield np.stack(batch)
-            batch = []
-    if batch:
-        yield np.stack(batch)
+            return np.asarray(im.convert("RGB"))
+
+    if not paths:
+        return
+    q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
+    stop = threading.Event()
+    _END = object()
+
+    def _put(item) -> bool:
+        # bounded put that aborts if the consumer went away (exception in
+        # the consuming loop / generator closed) so the thread can't park
+        # on a full queue forever
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _producer():
+        try:
+            from collections import deque
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                batch: list[np.ndarray] = []
+                window: deque = deque()  # in-order futures, bounded depth
+                it = iter(paths)
+                exhausted = False
+                while window or not exhausted:
+                    while not exhausted and len(window) < workers * 4:
+                        p = next(it, None)
+                        if p is None:
+                            exhausted = True
+                        else:
+                            window.append(pool.submit(_decode, p))
+                    if not window:
+                        break
+                    if stop.is_set():
+                        return  # pending window is small; shutdown is quick
+                    batch.append(window.popleft().result())
+                    if len(batch) == batch_size:
+                        if not _put(np.stack(batch)):
+                            return
+                        batch = []
+                if batch:
+                    _put(np.stack(batch))
+            _put(_END)
+        except BaseException as e:  # surface decode errors to the consumer
+            _put(e)
+
+    t = threading.Thread(target=_producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+    finally:
+        stop.set()
 
 
 def inception_features(
