@@ -828,3 +828,78 @@ def test_png_dir_batches_threaded_order_tail_and_early_close(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert list(png_dir_batches(empty)) == []
+
+
+class TestPosthocMetadataConsistency:
+    @pytest.mark.slow
+    def test_output_config_declares_single_target_profile(self, tmp_path):
+        """The reconstructed checkpoint carries ONE combined EMA tree at
+        target_sigma_rel; its embedded config must say exactly that — a
+        source-config copy (N profiles, source sigma_rels) would make a
+        training resume expect N trees and an interop export label the tree
+        with the wrong sigma_rel/gamma."""
+        from tests.test_e2e import make_trainer, tiny_spec
+        from tinyedm_tpu.config.registry import instantiate
+        from tinyedm_tpu.posthoc_ema import reconstruct
+        from tinyedm_tpu.training.checkpoint import load_checkpoint
+
+        spec = tiny_spec()
+        spec = type(spec)(
+            **{
+                **{f.name: getattr(spec, f.name) for f in spec.__dataclass_fields__.values()},
+                "ema_lengths": (0.05, 0.13),
+            }
+        )
+        trainer = make_trainer(tmp_path, spec, max_epochs=1)
+        trainer.fit()
+        trainer.ckpt.wait()
+
+        out = tmp_path / "posthoc"
+        reconstruct(
+            str(tmp_path / "run" / "checkpoints"),
+            target_sigma_rel=0.10,
+            out_dir=str(out),
+        )
+        state, config = load_checkpoint(out)
+        assert len(state.ema) == 1
+        out_spec = instantiate(config["model"])
+        assert out_spec.use_ema
+        assert out_spec.ema_length == pytest.approx(0.10)
+        assert not out_spec.ema_lengths
+        assert out_spec.val_ema_index == 0
+        # and the rewritten config still round-trips through reconstruct:
+        # pairing one tree with gamma(0.10) is now unambiguous
+        reconstruct(str(out), target_sigma_rel=0.10, out_dir=str(tmp_path / "p2"))
+
+    @pytest.mark.slow
+    def test_tree_profile_count_mismatch_raises(self, tmp_path):
+        """A checkpoint whose stored EMA tree count differs from its config's
+        declared profile count (e.g. an interop import with --load_ema into a
+        multi-profile config) must be rejected — silently zipping would pair
+        trees with the wrong gammas."""
+        import dataclasses
+
+        from tests.test_e2e import make_trainer, tiny_spec
+        from tinyedm_tpu.config.registry import deinstantiate
+        from tinyedm_tpu.posthoc_ema import reconstruct
+        from tinyedm_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+
+        spec = tiny_spec()
+        trainer = make_trainer(tmp_path, spec, max_epochs=1)
+        trainer.fit()
+        trainer.ckpt.wait()
+        state, config = load_checkpoint(tmp_path / "run" / "checkpoints")
+        assert len(state.ema) == 1
+        # rewrite the embedded config to claim two profiles
+        two = dataclasses.replace(
+            spec, ema_length=None, ema_lengths=(0.05, 0.13)
+        )
+        save_checkpoint(
+            tmp_path / "mismatched", state, config={"model": deinstantiate(two)}
+        )
+        with pytest.raises(ValueError, match="cannot pair"):
+            reconstruct(
+                str(tmp_path / "mismatched"),
+                target_sigma_rel=0.10,
+                out_dir=str(tmp_path / "nope"),
+            )

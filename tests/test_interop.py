@@ -446,3 +446,90 @@ def test_interop_crosscheck_script(tmp_path, edm_variables):
         ["--ckpt_dir", str(tmp_path / "ckpt"), "--batch", "8", "--load_ema"]
     )
     assert rc == 0
+
+
+def test_scanned_checkpoint_export_import_roundtrip(tmp_path):
+    """scan_blocks=True checkpoints must export (unrolled — the reference
+    state_dict is always per-block) and import back into a scanned config
+    (restacked to what spec.build_model() expects). Before the fix, export
+    KeyError'd on the missing encoder_blocks_i keys and import wrote an
+    unrolled tree under a scanned config (unusable at restore)."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    import yaml
+
+    from tinyedm_tpu.config.registry import deinstantiate
+    from tinyedm_tpu.diffusion.diffuser import Diffuser
+    from tinyedm_tpu.training.checkpoint import (
+        load_edm_from_checkpoint,
+        save_checkpoint,
+    )
+    from tinyedm_tpu.training.experiment import EDMSpec
+    from tinyedm_tpu.training.state import TrainState
+    from tinyedm_tpu.training.train_step import make_adam
+
+    # topology with genuine scannable runs (mirrors tests/test_scan_blocks.py
+    # CFG: Enc x2, EncA x2, DecA x3, Dec x3 — the fixture TOPOLOGY above has
+    # no runs of identical blocks and would not exercise the scan layout)
+    scan_topology = dict(
+        encoder_block_types=("Enc", "Enc", "EncD", "EncA", "EncA"),
+        decoder_block_types=("DecA", "DecA", "DecA", "DecU", "Dec", "Dec", "Dec"),
+        encoder_out_channels=(16, 16, 16, 16, 16),
+        decoder_out_channels=(16, 16, 16, 16, 16, 16, 16),
+        skip_connections=(True, True, True, False, True, True, True),
+    )
+    spec = EDMSpec(
+        diffuser=Diffuser(-1.2, 1.2),
+        embedding=Embedding(fourier_dim=16, embedding_dim=32, num_classes=10),
+        denoiser=Denoiser(
+            in_channels=3, out_channels=3, embedding_dim=32, num_heads=2,
+            sigma_data=0.5, scan_blocks=True, **scan_topology,
+        ),
+        use_uncertainty=True,
+        use_ema=True,
+        ema_length=0.13,
+    )
+    model = spec.build_model()
+    x = jnp.zeros((2, 8, 8, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1)}, x, jnp.ones((2,)),
+        jnp.asarray([0, 1]), method=EDM.denoise_with_aux,
+    )
+    params = variables["params"]
+    # the fixture TOPOLOGY's trailing Dec,Dec run must actually scan
+    assert any(k.startswith("decoder_scan_") for k in params["denoiser"])
+
+    ema_tree = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+    state = TrainState(
+        step=jnp.asarray(55, jnp.int32),
+        params=params,
+        constants=variables["constants"],
+        opt_state=make_adam((0.9, 0.999), 1e-8).init(params),
+        ema=(ema_tree,),
+    )
+    save_checkpoint(tmp_path / "orbax", state, config={"model": deinstantiate(spec)})
+
+    out = tmp_path / "exported.ckpt"
+    interop.main(["export", "--ckpt_dir", str(tmp_path / "orbax"), "--out", str(out)])
+
+    with open(tmp_path / "config.yaml", "w") as f:
+        yaml.safe_dump({"model": deinstantiate(spec)}, f)
+    interop.import_torch_checkpoint(
+        str(out), str(tmp_path / "config.yaml"), str(tmp_path / "imported"),
+        load_ema=True,
+    )
+
+    spec2, model2, v2, st = load_edm_from_checkpoint(
+        tmp_path / "imported", load_ema=True
+    )
+    assert any(k.startswith("decoder_scan_") for k in v2["params"]["denoiser"])
+    # the restored (scanned) EMA tree computes the same forward as the
+    # original scanned model with the original EMA tree
+    xq = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 3))
+    out_a = model.apply(
+        {"params": ema_tree, "constants": variables["constants"]},
+        xq, jnp.ones((2,)), jnp.asarray([3, 7]),
+    )
+    out_b = model2.apply(v2, xq, jnp.ones((2,)), jnp.asarray([3, 7]))
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-6
+    )

@@ -286,24 +286,28 @@ class JaxVAE:
     params: dict
 
     def __post_init__(self):
+        # params are a jit ARGUMENT, not a closure: closing over the ~84M-
+        # param (~335 MB fp32) tree would bake it into the computation as
+        # embedded constants — constant-folding at trace time, the weights
+        # duplicated into the executable, and a retrace if they're swapped
         self._encode = jax.jit(
-            lambda x, rng: self.module.apply(
-                {"params": self.params}, x, rng, method=AutoencoderKL.encode_sample
+            lambda params, x, rng: self.module.apply(
+                {"params": params}, x, rng, method=AutoencoderKL.encode_sample
             )
         )
         self._decode = jax.jit(
-            lambda z: self.module.apply(
-                {"params": self.params}, z, method=AutoencoderKL.decode
+            lambda params, z: self.module.apply(
+                {"params": params}, z, method=AutoencoderKL.decode
             )
         )
 
     def encode(self, images: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
         """images NHWC in [-1,1] -> sampled latents NHWC (1/8 res, 4ch)."""
-        return self._encode(images, rng)
+        return self._encode(self.params, images, rng)
 
     def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
         """latents NHWC -> images NHWC roughly in [-1,1]."""
-        return self._decode(latents)
+        return self._decode(self.params, latents)
 
 
 def load_vae(

@@ -33,11 +33,12 @@ def reconstruct(
 
     mngr = CheckpointManager(ckpt_path, max_to_keep=None, monitor=None, async_save=False)
     all_steps = steps
-    if all_steps is None:
+    if not all_steps:  # None OR an explicitly empty --steps list
         all_steps = [mngr.latest_step]
     snapshots, snap_steps, snap_gammas = [], [], []
     config = None
     state = None
+    spec = None
     for s in all_steps:
         state, config = mngr.restore(s)
         spec_cfg = config["model"] if config and "model" in config else None
@@ -47,6 +48,17 @@ def reconstruct(
         ema_cfg = spec.build_ema_config()
         if ema_cfg is None or not state.ema:
             raise ValueError(f"checkpoint step {s} has no EMA profiles")
+        if len(state.ema) != len(ema_cfg.gammas):
+            # e.g. interop-imported checkpoints store exactly one EMA tree
+            # regardless of what the config declares — zipping would pair
+            # trees with the wrong gammas and produce a plausible-looking
+            # but WRONG reconstruction
+            raise ValueError(
+                f"checkpoint step {s} stores {len(state.ema)} EMA tree(s) "
+                f"but its config declares {len(ema_cfg.gammas)} profile(s) "
+                f"(sigma_rels {tuple(ema_cfg.sigma_rels)}); cannot pair "
+                "trees with gammas unambiguously"
+            )
         for tree, gamma in zip(state.ema, ema_cfg.gammas):
             snapshots.append(tree)
             snap_steps.append(int(state.step))
@@ -68,7 +80,25 @@ def reconstruct(
         opt_state=state.opt_state,
         ema=(combined,),
     )
-    save_checkpoint(out_dir, new_state, config)
+    # the written checkpoint carries ONE combined EMA tree at
+    # target_sigma_rel — rewrite the embedded config to say so, or its
+    # metadata would still describe the source run's profile list (a
+    # training resume would expect N trees and find 1; an interop export
+    # would label the tree with the source profile's sigma_rel/gamma)
+    import dataclasses
+
+    from tinyedm_tpu.config.registry import deinstantiate
+
+    out_spec = dataclasses.replace(
+        spec,
+        use_ema=True,
+        ema_length=target_sigma_rel,
+        ema_lengths=None,
+        val_ema_index=0,
+    )
+    out_config = dict(config)
+    out_config["model"] = deinstantiate(out_spec)
+    save_checkpoint(out_dir, new_state, out_config)
     print(f"wrote reconstructed checkpoint to {out_dir}")
 
 

@@ -163,7 +163,15 @@ class LatentsGenerateCallback(Callback):
         )
         if self._vae is not None:
             images = np.asarray(self._vae.decode(jnp.asarray(lat)))
-            images = np.clip(images, *self.value_range)
+            # clamp to value_range then map it onto [0,1] for the uint8
+            # grid. The reference default (0,1) clamps the decoder's
+            # ~[-1,1] output the same way (callbacks.py:119-120 clamps and
+            # logs without rescale) — identity here, so parity holds; but
+            # a user-set range like (-1,1) must be rescaled or the uint8
+            # cast wraps negatives into garbage pixels
+            lo, hi = self.value_range
+            images = np.clip(images, lo, hi)
+            images = (images - lo) / max(hi - lo, 1e-12)
             images = (images * 255.0).astype(np.uint8)
         else:
             lo, hi = lat.min(), lat.max()

@@ -302,7 +302,6 @@ def edm_params_from_torch_state_dict(spec, torch_sd: Mapping) -> dict:
             "gain": _to_np(u_sd["gain"]),
         }
     constants = {"embedding": emb_constants}
-    to_jnp = lambda tree: jnp.asarray(tree) if isinstance(tree, np.ndarray) else tree
     import jax
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -311,8 +310,19 @@ def edm_params_from_torch_state_dict(spec, torch_sd: Mapping) -> dict:
 
 
 def edm_params_to_torch_state_dict(spec, variables: Mapping) -> dict:
-    """Inverse: this framework's EDM variables -> reference EDM state_dict."""
+    """Inverse: this framework's EDM variables -> reference EDM state_dict.
+
+    Accepts either param layout: a ``scan_blocks=True`` checkpoint (stacked
+    ``{side}_scan_{start}`` groups) is unrolled here first — the reference
+    has no scanned layout, its state_dict is always per-block. This is the
+    single chokepoint all export paths go through (weights, EMA trees, Adam
+    moments), so every tree gets the same treatment."""
     params = variables["params"]
+    if any(
+        k.startswith(("encoder_scan_", "decoder_scan_"))
+        for k in params.get("denoiser", {})
+    ):
+        params = migrate_params_from_scanned(params)
     constants = variables["constants"]
     sd = {}
     for k, v in embedding_to_torch(
@@ -358,6 +368,32 @@ def import_torch_checkpoint(
     variables = edm_params_from_torch_state_dict(spec, sd)
     params = variables["params"]
 
+    # a scan_blocks=True target config stores stacked {side}_scan_{start}
+    # groups; restack the unrolled conversion into that layout or the saved
+    # checkpoint's tree will not match what spec.build_model() expects at
+    # restore (generate.py / trainer resume would fail on apply)
+    to_scanned = None
+    if getattr(spec.denoiser, "scan_blocks", False):
+        model = spec.build_model()
+        hw = 64  # params are spatial-size-independent; any 2^k-safe size works
+        img = jnp.zeros((1, hw, hw, spec.denoiser.in_channels), jnp.float32)
+        labels = jnp.zeros((1,), jnp.int32) if model.conditional else None
+        abstract = jax.eval_shape(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0)},
+                img,
+                jnp.ones((1,), jnp.float32),
+                labels,
+                train=False,
+                method=model.denoise_with_aux,
+            )
+        )
+
+        def to_scanned(tree):  # noqa: F811 — deliberate rebind from None
+            return migrate_params_to_scanned(tree, abstract["params"])
+
+        params = to_scanned(params)
+
     ema = ()
     if load_ema:
         if not isinstance(ckpt, dict) or "optimizer_states" not in ckpt:
@@ -371,7 +407,10 @@ def import_torch_checkpoint(
         # like any other weight tree and store it as EMA profile 0 — our
         # generate.py --load_ema evaluates it (no in-place swap needed)
         ema_sd = ema_state_dict_from_flat(sd, ema_flat)
-        ema = (edm_params_from_torch_state_dict(spec, ema_sd)["params"],)
+        ema_params = edm_params_from_torch_state_dict(spec, ema_sd)["params"]
+        if to_scanned is not None:
+            ema_params = to_scanned(ema_params)
+        ema = (ema_params,)
 
     opt_cfg = spec.build_optimizer_config()
     tx = make_adam(opt_cfg.betas, opt_cfg.eps)
@@ -565,6 +604,16 @@ def export_torch_checkpoint(
             spec.ema_lengths
             or ((spec.ema_length,) if spec.ema_length is not None else ())
         )
+        if sigma_rels and not 0 <= ema_index < len(sigma_rels):
+            # checkpoint may carry more EMA trees than the spec declares
+            # profiles (e.g. hand-assembled states); fail with the real
+            # reason instead of an IndexError on the sigma_rel lookup
+            raise ValueError(
+                f"ema_index={ema_index} has no declared sigma_rel: the spec "
+                f"declares {len(sigma_rels)} EMA profile(s) while the "
+                f"checkpoint stores {len(state.ema)} tree(s) — the exported "
+                "gamma would be untraceable"
+            )
         opt0: dict[str, Any] = {
             "opt": adam_sd,
             "ema": tuple(_to_torch(ema_sd[k]) for k in order),
@@ -587,6 +636,18 @@ def export_torch_checkpoint(
         hp["use_ema"] = False
         hp["ema_length"] = None
         print("[export] checkpoint has no EMA trees; exporting use_ema=False")
+    elif state.ema and not hp["use_ema"]:
+        # the inverse inconsistency: EMA trees present (e.g. imported with
+        # --load_ema into a use_ema:false config) but the reference would
+        # build a bare torch Adam and choke on the nested EMAOptimizer
+        # dict. Export the bare Adam and drop the EMA trees, loudly — a
+        # use_ema:true config is the way to carry them across
+        opt0 = adam_sd
+        print(
+            "[export] checkpoint carries EMA tree(s) but the spec has "
+            "use_ema=False; exporting a bare Adam (EMA trees dropped). "
+            "Re-export with a use_ema: true config to keep them."
+        )
     ckpt: dict[str, Any] = {
         "state_dict": sd,
         "global_step": gstep,
