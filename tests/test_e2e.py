@@ -1081,3 +1081,45 @@ def test_fid_callback_start_validation_raises_on_all_ranks(tmp_path, monkeypatch
     monkeypatch.setattr(_jax, "process_index", lambda: 1)
     with pytest.raises(FileNotFoundError):
         cb.on_train_start(trainer=None)  # validation needs no trainer state
+
+
+def test_final_save_carries_last_val_loss(tmp_path):
+    """When the final epoch validated but no cadence save fired, the
+    end-of-run save must attach that val_loss (the weights are unchanged
+    since validation) — a metric-less final save would exclude the run's
+    last checkpoint from best/top-k ranking despite its known quality."""
+    spec = tiny_spec(use_ema=False)
+    dm = SyntheticDataModule(
+        batch_size=16, image_size=8, num_channels=1, num_samples=64
+    )
+    trainer = Trainer(
+        spec=spec,
+        datamodule=dm,
+        max_epochs=1,
+        check_val_every_n_epoch=1,
+        out_dir=tmp_path / "run",
+        ckpt_every_n_epochs=100,  # no cadence save: only the end-of-run save
+        seed=0,
+        config={"model": deinstantiate(spec), "seed": 0},
+    )
+    trainer.fit()
+    trainer.ckpt.wait()
+    # only the end-of-run save exists, and it ranks (best == latest)
+    assert trainer.ckpt.latest_step == trainer.global_step
+    assert trainer.ckpt.best_step == trainer.global_step
+
+
+def test_solve_use_ema_without_ema_profiles_raises(tmp_path):
+    """trainer.solve(use_ema=True) on a state with no EMA trees must raise
+    (matching load_edm_from_checkpoint), not silently sample with raw
+    training weights while claiming EMA quality."""
+    spec = tiny_spec(use_ema=False)
+    trainer = make_trainer(tmp_path, spec, max_epochs=1)
+    trainer.fit()
+    solver = DeterministicSolver(num_steps=2)
+    x0 = jnp.zeros((2, 8, 8, 1))
+    with pytest.raises(ValueError, match="no EMA"):
+        trainer.solve(solver, x0, jnp.asarray([0, 1]), use_ema=True)
+    # and the honest path still works
+    y = trainer.solve(solver, x0, jnp.asarray([0, 1]), use_ema=False)
+    assert np.isfinite(np.asarray(y)).all()

@@ -117,3 +117,74 @@ class TestCheckpointMonitor:
         mngr.wait()
         assert mngr.best_step == 2
         mngr.close()
+
+    def test_missing_monitor_key_demoted_not_pruned_first(self, tmp_path):
+        """A NEWEST save whose metrics lack the monitored key must survive:
+        it is demoted to the protected metric-less class instead of entering
+        the ranking at worst (where top-k would prune it immediately —
+        deleting the most recent resume point)."""
+        from tinyedm_tpu.training.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(
+            tmp_path / "ckpt", max_to_keep=2, monitor="fid", mode="min",
+            save_last=True, async_save=False,
+        )
+        for s, fid in ((1, 1.0), (2, 2.0), (3, 3.0)):
+            mngr.save(s, self._state(s), metrics={"fid": fid})
+        mngr.save(4, self._state(4), metrics={"val_loss": 0.1})  # no fid
+        mngr.wait()
+        kept = {int(p.name) for p in (tmp_path / "ckpt").iterdir() if p.name.isdigit()}
+        assert 4 in kept, "newest (metric-less for this monitor) save was pruned"
+        assert mngr.latest_step == 4
+        assert mngr.best_step == 1
+        mngr.close()
+
+    def test_metricless_class_is_bounded_not_immortal(self, tmp_path):
+        """orbax exempts metric-less saves from max_to_keep entirely
+        (keep-ALL); the manager bounds that class to keep_last so cadence
+        saves between validations cannot fill the disk, while top-k
+        metric-bearing checkpoints are untouched."""
+        from tinyedm_tpu.training.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(
+            tmp_path / "ckpt", max_to_keep=2, monitor="val_loss", mode="min",
+            save_last=True, async_save=False, keep_last=2,
+        )
+        mngr.save(1, self._state(1), metrics={"val_loss": 1.0})
+        mngr.save(2, self._state(2), metrics={"val_loss": 0.5})
+        for s in (3, 4, 5, 6):  # metric-less cadence saves
+            mngr.save(s, self._state(s), metrics=None)
+        mngr.wait()
+        kept = {int(p.name) for p in (tmp_path / "ckpt").iterdir() if p.name.isdigit()}
+        assert {1, 2} <= kept  # top-k by val_loss
+        assert {5, 6} <= kept  # newest keep_last metric-less
+        assert 3 not in kept and 4 not in kept
+        mngr.close()
+
+    def test_monitorless_manager_keeps_all(self, tmp_path):
+        """monitor=None managers (e.g. the soak's keep-all checkpointing for
+        eval_fid sweep) must never prune: every save is metric-less by
+        design there."""
+        from tinyedm_tpu.training.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(
+            tmp_path / "ckpt", max_to_keep=None, monitor=None,
+            save_last=True, async_save=False,
+        )
+        for s in range(1, 6):
+            mngr.save(s, self._state(s))
+        mngr.wait()
+        kept = {int(p.name) for p in (tmp_path / "ckpt").iterdir() if p.name.isdigit()}
+        assert kept == {1, 2, 3, 4, 5}
+        mngr.close()
+
+
+def test_sigma_rel_zero_rejected_with_value_error():
+    """0.0 passes the reference's advertised bound but is outside the cubic's
+    domain (sigma_rel**-2) — must raise ValueError, not ZeroDivisionError."""
+    from tinyedm_tpu.training.ema import sigma_rel_to_gamma
+
+    with pytest.raises(ValueError, match="sigma_rel"):
+        sigma_rel_to_gamma(0.0)
+    with pytest.raises(ValueError):
+        sigma_rel_to_gamma(-0.1)

@@ -60,13 +60,16 @@ class CheckpointManager:
         mode: str = "min",
         save_last: bool = True,
         async_save: bool = True,
+        keep_last: int = 2,
     ):
         self.directory = Path(directory).absolute()
         self.monitor = monitor
         # a checkpoint whose metrics MISS the monitored key must rank worst,
         # not best (a m.get(monitor, 0.0) default under mode=min would pin
         # top-k to metric-less saves — e.g. fid-monitored runs where the fid
-        # cadence skipped an epoch)
+        # cadence skipped an epoch). In practice such saves never reach the
+        # ranking: save() demotes them to the metric-less "last" class below,
+        # so the worst-default is defense in depth only.
         worst = float("inf") if mode == "min" else float("-inf")
         best_fn = (lambda m: m.get(monitor, worst)) if monitor else None
         options = ocp.CheckpointManagerOptions(
@@ -77,6 +80,18 @@ class CheckpointManager:
             enable_async_checkpointing=async_save,
         )
         self._mngr = ocp.CheckpointManager(self.directory, options=options)
+        # orbax exempts metric-less saves from max_to_keep entirely ("never
+        # deleted"), which is keep-ALL, not save-last: cadence saves between
+        # validations would accumulate one full TrainState per save. Bound
+        # that class ourselves: keep the newest ``keep_last`` metric-less
+        # steps (2 = the latest resume point + one preemption save margin).
+        # Tracked in-memory only — the same deterministic sequence runs on
+        # every process, so multihost stays consistent; metric-less steps
+        # from BEFORE a restart are not retro-pruned (rare, bounded per run).
+        self._save_last = save_last
+        self._keep_last = max(int(keep_last), 1)
+        self._max_to_keep = max_to_keep
+        self._metricless: list[int] = []
 
     def save(
         self,
@@ -85,14 +100,33 @@ class CheckpointManager:
         config: Optional[dict] = None,
         metrics: Optional[dict] = None,
     ) -> None:
+        m = {k: float(v) for k, v in (metrics or {}).items()} or None
+        if m is not None and self.monitor and self.monitor not in m:
+            # metrics without the monitored key: entering the top-k ranking
+            # at worst would prune the NEWEST save first (e.g. a val_loss
+            # save in a fid-monitored run) — demote to the protected
+            # metric-less class instead; bounded retention below applies
+            m = None
         args = {"state": ocp.args.StandardSave(_to_saveable(state))}
         if config is not None:
             args["config"] = ocp.args.JsonSave(config)
-        self._mngr.save(
-            step,
-            args=ocp.args.Composite(**args),
-            metrics={k: float(v) for k, v in (metrics or {}).items()} or None,
-        )
+        self._mngr.save(step, args=ocp.args.Composite(**args), metrics=m)
+        # bounded "last" class applies only to monitored top-k managers:
+        # with monitor=None (e.g. the soak's keep-all manager) every save is
+        # metric-less BY DESIGN and must not be pruned here
+        if (
+            m is None
+            and self._save_last
+            and self.monitor
+            and self._max_to_keep is not None
+        ):
+            self._metricless = [s for s in self._metricless if s != step] + [step]
+            while len(self._metricless) > self._keep_last:
+                old = self._metricless.pop(0)
+                try:
+                    self._mngr.delete(old)
+                except Exception:
+                    pass  # already pruned or kept by other policy — harmless
 
     def wait(self) -> None:
         self._mngr.wait_until_finished()
@@ -163,7 +197,9 @@ def load_edm_from_checkpoint(
     (generate.py loads the ckpt twice and the second load can clobber the EMA
     swap — SURVEY.md §2.1), selecting EMA here is unambiguous.
 
-    Returns (spec, model, variables) where variables = {params, constants}.
+    Returns (spec, model, variables, state) where variables =
+    {params, constants} holds the requested (train or EMA) weights and
+    ``state`` is the full restored TrainState.
     """
     from tinyedm_tpu.config.registry import instantiate
 

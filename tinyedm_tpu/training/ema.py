@@ -34,9 +34,12 @@ MAX_SIGMA_REL = 0.2886  # reference validation bound (ema.py:56-59)
 
 def sigma_rel_to_gamma(sigma_rel: float) -> float:
     """Max real root of the cubic relating sigma_rel to the power-EMA exponent."""
-    if not (0.0 <= sigma_rel <= MAX_SIGMA_REL):
+    # the reference validates 0 <= ema_length (ema.py:56-59) but 0 is not in
+    # the cubic's domain (sigma_rel**-2 divides by zero there, in torch too);
+    # reject it with the real reason instead of a ZeroDivisionError
+    if not (0.0 < sigma_rel <= MAX_SIGMA_REL):
         raise ValueError(
-            f"EMA length (sigma_rel) must be within [0, {MAX_SIGMA_REL}], got {sigma_rel}"
+            f"EMA length (sigma_rel) must be within (0, {MAX_SIGMA_REL}], got {sigma_rel}"
         )
     t = sigma_rel ** -2
     roots = np.roots([1.0, 7.0, 16.0 - t, 12.0 - t])

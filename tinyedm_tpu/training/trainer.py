@@ -106,6 +106,16 @@ class Trainer:
         self.device_preprocess = bool(device_preprocess) and bool(
             getattr(datamodule, "raw_uint8", False)
         )
+        if device_preprocess and not self.device_preprocess:
+            # loud, not silent: the user asked for the 4x-cheaper input path
+            # but this datamodule has no raw-uint8 feed — benchmarking the
+            # fallback as if the knob were on would mislead
+            print(
+                "[trainer] device_preprocess requested but the datamodule "
+                f"({type(datamodule).__name__}) exposes no raw_uint8 path; "
+                "falling back to host preprocessing",
+                flush=True,
+            )
         self.plan = ShardingPlan(self.mesh, zero1=self.zero1)
         self.ckpt = CheckpointManager(
             self.out_dir / "checkpoints",
@@ -168,9 +178,11 @@ class Trainer:
 
     def _install_signal_handlers(self) -> None:
         def handler(signum, frame):
-            self.logger.log_text(
-                "trainer", f"signal {signum} received - checkpointing and exiting"
-            )
+            # flag ONLY — no logger IO here: the interrupted frame may be
+            # inside the logger (or a wandb network call), and re-entering
+            # it from the handler can raise into arbitrary trainer code
+            # before the preemption checkpoint is written. The fit loop
+            # logs when it observes the flag.
             self._interrupted = True
 
         for sig in (signal.SIGTERM, signal.SIGINT):
@@ -322,14 +334,26 @@ class Trainer:
             val_loss = None
             if (self.epoch + 1) % self.check_val_every_n_epoch == 0:
                 val_loss = self.validate()
+                if val_loss is not None:
+                    self._last_val = (self.global_step, val_loss)
             for cb in self.callbacks:
                 cb.on_train_epoch_end(self)
             if (self.epoch + 1) % self.ckpt_every_n_epochs == 0:
                 self.save_checkpoint(val_loss)
             self.epoch += 1
 
+        if self._interrupted:
+            self.logger.log_text(
+                "trainer", "preemption signal received - checkpointing and exiting"
+            )
         if self.ckpt.latest_step != self.global_step:  # avoid same-step double save
-            self.save_checkpoint(None)
+            # if validation ran at this exact step (final epoch validated
+            # but the cadence save didn't fire), attach its val_loss — the
+            # weights haven't changed since, and a metric-less final save
+            # would exclude the run's last checkpoint from best/top-k
+            # ranking even though its quality is known
+            last = getattr(self, "_last_val", None)
+            self.save_checkpoint(last[1] if last and last[0] == self.global_step else None)
         self.ckpt.wait()
         for cb in self.callbacks:
             cb.on_fit_end(self)
@@ -432,7 +456,15 @@ class Trainer:
                 return solver.solve(fn, x0, labels)
 
             self._solve_cache[key] = jax.jit(sample)
-        params = self.state.ema[ema_index] if (use_ema and self.state.ema) else self.state.params
+        if use_ema and not self.state.ema:
+            # match the load path (checkpoint.py load_edm_from_checkpoint):
+            # silently sampling with raw training weights would let previews
+            # and FID series claim EMA quality they don't have
+            raise ValueError(
+                "solve(use_ema=True) but the train state tracks no EMA "
+                "profiles (EMAConfig absent or sigma_rels empty)"
+            )
+        params = self.state.ema[ema_index] if use_ema else self.state.params
         return self._solve_cache[key](params, self.state.constants, x0, class_labels)
 
     # ------------------------------------------------------------ checkpoints
