@@ -430,3 +430,47 @@ class TestMultistepSolver:
         assert e8 > 2.5 * e16 > 0, (e8, e16)
         assert e16 > 2.5 * e32 > 0, (e16, e32)
         assert e32 < 2e-3, e32
+
+
+class TestSolverEdgeCases:
+    def test_single_step_schedule_is_finite(self):
+        """num_steps=1: the i/(n-1) interpolation is 0/0 in the reference
+        (NaN schedule); here it must give the well-defined [sigma_max, 0]
+        one-Euler-step schedule and a finite sample."""
+        from tinyedm_tpu.diffusion.solver import (
+            DeterministicSolver,
+            karras_sigma_schedule,
+        )
+
+        t = karras_sigma_schedule(1, 0.002, 80.0, 7.0)
+        np.testing.assert_array_equal(t, [80.0, 0.0])
+
+        solver = DeterministicSolver(num_steps=1)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 1))
+        out = solver.solve(lambda x, s, l: x * 0.5, x0, None)
+        assert np.isfinite(np.asarray(out)).all()
+        with pytest.raises(ValueError, match="num_steps"):
+            karras_sigma_schedule(0, 0.002, 80.0, 7.0)
+
+    def test_stochastic_solver_requires_rng_when_churning(self):
+        """S_churn > 0 without an explicit rng must raise — a silent fixed
+        default key would reuse the identical churn-noise realization across
+        every call and batch. churn == 0 (key unused) stays optional."""
+        from tinyedm_tpu.diffusion.solver import StochasticSolver
+
+        x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+        den = lambda x, s, l: x * 0.9  # noqa: E731
+
+        with pytest.raises(ValueError, match="rng"):
+            StochasticSolver(num_steps=3, S_churn=5.0).solve(den, x0, None)
+        # churn 0: deterministic, rng irrelevant
+        out = StochasticSolver(num_steps=3, S_churn=0.0).solve(den, x0, None)
+        assert np.isfinite(np.asarray(out)).all()
+        # churn > 0 with a key still works and differs per key
+        a = StochasticSolver(num_steps=3, S_churn=5.0).solve(
+            den, x0, None, rng=jax.random.PRNGKey(2)
+        )
+        b = StochasticSolver(num_steps=3, S_churn=5.0).solve(
+            den, x0, None, rng=jax.random.PRNGKey(3)
+        )
+        assert not np.allclose(np.asarray(a), np.asarray(b))

@@ -225,3 +225,39 @@ def test_remat_identical_outputs_and_grads():
     g2 = jax.grad(lambda p: loss(m2, p))(variables["params"])
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_denoiser_wrapper_forwards_train_flag():
+    """The torch reference's wrapper inherits train mode implicitly (module
+    state); the functional wrapper must forward train= to nets that take it
+    (else dropout silently trains disabled) while keeping the bare 3-arg
+    contract for nets that don't."""
+    import flax.linen as nn
+
+    from tinyedm_tpu.models.unet import DenoiserWrapper
+
+    class TrainAwareNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, c_noise, emb=None, *, train=False):
+            return x * (2.0 if train else 1.0)
+
+    class BareNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, c_noise, emb=None):
+            return x
+
+    x = jnp.ones((2, 4, 4, 3))
+    sigma = jnp.full((2,), 0.7)
+
+    w = DenoiserWrapper(net=TrainAwareNet())
+    v = w.init({"params": jax.random.PRNGKey(0)}, x, sigma)
+    y_eval = w.apply(v, x, sigma, train=False)
+    y_train = w.apply(v, x, sigma, train=True)
+    assert not np.allclose(np.asarray(y_eval), np.asarray(y_train)), (
+        "train flag did not reach the wrapped net"
+    )
+
+    wb = DenoiserWrapper(net=BareNet())
+    vb = wb.init({"params": jax.random.PRNGKey(0)}, x, sigma)
+    yb = wb.apply(vb, x, sigma, train=True)  # must not TypeError
+    assert np.isfinite(np.asarray(yb)).all()

@@ -27,6 +27,13 @@ def karras_sigma_schedule(
     """t_i = (sigma_max^(1/rho) + i/(n-1) * (sigma_min^(1/rho) - sigma_max^(1/rho)))^rho,
     with a trailing 0 (reference: solvers.py:34-41). Computed and RETURNED in
     fp64 on host; consumers cast to the solver's state dtype at jit entry."""
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps}")
+    if num_steps == 1:
+        # the i/(n-1) interpolation is 0/0 at n=1 (the reference NaNs here,
+        # solvers.py:34-41); the well-defined one-step schedule is
+        # [sigma_max, 0] — a single Euler step from pure noise
+        return np.asarray([sigma_max, 0.0], np.float64)
     i = np.arange(num_steps, dtype=np.float64)
     t = (
         sigma_max ** (1.0 / rho)
@@ -267,7 +274,16 @@ class StochasticSolver:
         rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
         if rng is None:
-            rng = jax.random.PRNGKey(0)
+            if self.S_churn > 0:
+                # a silent fixed default key would make every sampling call
+                # (and every batch) reuse the identical churn-noise
+                # realization — bitwise-repeated previews and correlated
+                # noise across a whole FID run, with no warning
+                raise ValueError(
+                    "StochasticSolver with S_churn > 0 needs an explicit "
+                    "rng key (solve(..., rng=jax.random.PRNGKey(...)))"
+                )
+            rng = jax.random.PRNGKey(0)  # churn 0: the key is never used
         dtype = self.jnp_dtype
         b = x0.shape[0]
         n = self.num_steps
@@ -304,8 +320,21 @@ class StochasticSolver:
             x_cur, x_base, dx_base = carry
             sigma_t, t0, t1, ph, churn, key = inp
             is_predict = ph == 0
-            eps = jax.random.normal(key, x_cur.shape, dtype)
-            x_in = x_cur + churn * eps  # no-op on correct steps (churn = 0)
+            if self.S_churn > 0:
+                # draw churn noise only on predict half-steps: correction
+                # steps have churn == 0 by construction, and XLA cannot DCE
+                # a full-image threefry draw feeding a data-dependent add —
+                # the cond halves the sampler's RNG work (and with churn
+                # disabled no noise is drawn at all, trace-time branch)
+                eps = jax.lax.cond(
+                    is_predict,
+                    lambda k: jax.random.normal(k, x_cur.shape, dtype),
+                    lambda k: jnp.zeros(x_cur.shape, dtype),
+                    key,
+                )
+                x_in = x_cur + churn * eps  # no-op on correct steps
+            else:
+                x_in = x_cur
             sigma = jnp.full((b,), sigma_t, dtype=jnp.float32)
             d = denoise_fn(x_in, sigma, class_labels).astype(dtype)
             dx = (x_in - d) / sigma_t.astype(dtype)

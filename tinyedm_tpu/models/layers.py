@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tinyedm_tpu.ops.mp import mp_add, mp_silu, normalize, pixel_norm, weight_normalize
+from tinyedm_tpu.ops.mp import mp_add, mp_silu, pixel_norm, weight_normalize
 from tinyedm_tpu.parallel.mesh import constrain_kernel
 
 Dtype = Any

@@ -21,7 +21,6 @@ from tinyedm_tpu.models.topology import (
     default_encoder_block_types,
     default_encoder_out_channels,
     default_skip_connections,
-    get_skip_channels,
     parse_block_type,
     validate_topology,
 )
@@ -357,5 +356,14 @@ class DenoiserWrapper(nn.Module):
     ) -> jnp.ndarray:
         noisy32 = noisy_image.astype(jnp.float32)
         c = edm_precond(sigma, self.sigma_data)
-        f = self.net(c.c_in * noisy32, c.c_noise, embedding)
+        # forward the train flag when the wrapped net takes one (the torch
+        # reference gets this implicitly through module train mode; dropping
+        # it here would silently disable dropout in training). Nets without
+        # a train parameter keep the bare 3-arg contract.
+        import inspect
+
+        if "train" in inspect.signature(type(self.net).__call__).parameters:
+            f = self.net(c.c_in * noisy32, c.c_noise, embedding, train=train)
+        else:
+            f = self.net(c.c_in * noisy32, c.c_noise, embedding)
         return c.c_skip * noisy32 + c.c_out * f.astype(jnp.float32)
