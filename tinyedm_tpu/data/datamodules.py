@@ -327,7 +327,9 @@ class ImageNetLatentsDataModule(AbstractDataModule):
         if packs:
             from tinyedm_tpu.data.latpack import PackedLatents
 
-            store = PackedLatents(packs[0])
+            # the full-dataset gather is exactly what num_workers exists to
+            # parallelize (up to ~78 GB at ImageNet scale)
+            store = PackedLatents(packs[0], gather_threads=max(1, num_workers))
             try:
                 lats, labs = store.gather(np.arange(store.n))
             finally:

@@ -9,6 +9,7 @@ workers with one packed file + mmap'd multithreaded gather).
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 from typing import Iterator, Optional
@@ -27,11 +28,19 @@ def _build_library() -> Path:
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
         return _LIB
+    # compile to a per-process temp path and atomically rename: concurrent
+    # processes (multi-host launches, pytest-xdist) racing an in-place -o
+    # could dlopen a half-written .so
+    tmp = _LIB.with_name(f".liblatpack.{os.getpid()}.tmp.so")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        str(_SRC), "-o", str(_LIB),
+        str(_SRC), "-o", str(tmp),
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
+    finally:
+        tmp.unlink(missing_ok=True)
     return _LIB
 
 
@@ -100,13 +109,21 @@ class PackedLatents:
     def __len__(self) -> int:
         return self.n
 
+    def _live_handle(self):
+        # a gather on a closed store would pass NULL to native code and
+        # segfault with no traceback; make it a diagnosable Python error
+        if not self._handle:
+            raise ValueError("PackedLatents store is closed")
+        return self._handle
+
     def gather(self, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        handle = self._live_handle()
         indices = np.ascontiguousarray(indices, np.int64)
         count = len(indices)
         out = np.empty((count, self.h, self.w, self.c), np.float32)
         labels = np.empty((count,), np.int32)
         rc = self._lib.latpack_gather(
-            self._handle,
+            handle,
             indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             count,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -122,12 +139,13 @@ class PackedLatents:
         whose .wait() yields (latents, labels). Double-buffer input with it:
         submit batch k+1 before handing batch k to the trainer — the copy
         overlaps the train step with zero Python-thread (GIL) involvement."""
+        handle = self._live_handle()
         indices = np.ascontiguousarray(indices, np.int64)
         count = len(indices)
         out = np.empty((count, self.h, self.w, self.c), np.float32)
         labels = np.empty((count,), np.int32)
         req = self._lib.latpack_gather_async(
-            self._handle,
+            handle,
             indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             count,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -166,14 +184,18 @@ class PendingGather:
         self._req = req
         self._out = out
         self._labels = labels
+        self._rc = 0
 
     def wait(self) -> tuple[np.ndarray, np.ndarray]:
         if self._req:
-            rc = self._store._lib.latpack_wait(self._req)
+            self._rc = self._store._lib.latpack_wait(self._req)
             self._req = None
             self._store._pending.discard(self)
-            if rc != 0:
-                raise IndexError("latpack_gather: index out of range")
+        if self._rc != 0:
+            # remembered across calls: a retried wait() after the first
+            # raise must keep raising, not hand back the partially-written
+            # buffers as if the gather had succeeded
+            raise IndexError("latpack_gather: index out of range")
         return self._out, self._labels
 
     def __del__(self):
@@ -276,6 +298,12 @@ class PackedLatentsDataModule:
         return self._store.n - self._n_val
 
     def steps_per_epoch(self, drop_last: bool = True) -> int:
+        if not drop_last:
+            raise NotImplementedError(
+                "PackedLatentsDataModule always drops the tail batch (fixed "
+                "compiled batch shape + process-divisible rank slices); "
+                "drop_last=False would silently train a different step count"
+            )
         return self._n_train // self.batch_size
 
     def train_batches(self, epoch: int, drop_last: bool = True, skip: int = 0) -> Iterator:
@@ -288,6 +316,11 @@ class PackedLatentsDataModule:
         shared-seed global order, so rank slices concatenated across
         processes reproduce the single-host stream exactly."""
         assert self._store is not None, "call setup() first"
+        if not drop_last:
+            raise NotImplementedError(
+                "PackedLatentsDataModule always drops the tail batch — see "
+                "steps_per_epoch"
+            )
         pi, pc = self._ranks
         if self.batch_size % pc != 0:
             raise ValueError(

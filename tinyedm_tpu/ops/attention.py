@@ -89,7 +89,10 @@ def _flash_fwd_impl(q, k, v, *, interpret: bool | None = None):
     if d_pad != d or n_pad != n:
         pad = lambda x: jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
         qb, kb, vb = pad(qb), pad(kb), pad(vb)
-    block_q = min(512, n_pad)
+    # block_q MUST divide n_pad: the grid has n_pad // block_q steps and a
+    # non-divisible block would silently leave the tail query rows
+    # uncomputed (n_pad is always a multiple of 128, so 128 divides)
+    block_q = next(bq for bq in (512, 256, 128) if n_pad % bq == 0)
     grid = (b * h, n_pad // block_q)
 
     kernel = functools.partial(_attn_kernel, scale=scale, n_actual=n)
@@ -127,7 +130,7 @@ MIN_PALLAS_TOKENS = 1024
 
 @jax.custom_vjp
 def _flash_attention_kernel_path(q, k, v):
-    return _flash_fwd_impl(q, k, v)
+    return _fwd_partitioned(q, k, v)
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -227,8 +230,12 @@ def _flash_bwd_impl(q, k, v, g, *, interpret: bool | None = None):
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b * h, n_pad, d_pad), k.dtype),
-            jax.ShapeDtypeStruct((b * h, n_pad, d_pad), v.dtype),
+            # dk/dv accumulate ACROSS q-blocks through the output ref: the
+            # running sum must be fp32 or every block round-trips it to
+            # bf16 (8 mantissa bits), compounding gradient error with the
+            # block count; cast to the input dtype only after the kernel
+            jax.ShapeDtypeStruct((b * h, n_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n_pad, d_pad), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -248,16 +255,68 @@ def _flash_bwd_impl(q, k, v, g, *, interpret: bool | None = None):
     def from_bh(x):
         return x[:, :n, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
-    return from_bh(dq), from_bh(dk), from_bh(dv)
+    return (
+        from_bh(dq),
+        from_bh(dk).astype(k.dtype),
+        from_bh(dv).astype(v.dtype),
+    )
+
+
+def _batch_partitioned(fn, n_args: int, n_res: int):
+    """SPMD-safe Pallas entry (same fix as fused_attention._batch_partitioned):
+    XLA's partitioner cannot see inside a Mosaic custom call, so a bare
+    pallas_call under a data-sharded jit gets REPLICATED — every chip
+    all-gathers and processes the full global batch (DP throughput death).
+    custom_partitioning declares the truth: all operands/results shard on
+    the leading batch dim only; each device runs the kernel on its shard."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cp = custom_partitioning(fn)
+
+    def _batch_axis(arg_shapes):
+        for s in arg_shapes:
+            spec = getattr(s.sharding, "spec", None)
+            if spec and len(spec) and spec[0] is not None:
+                return spec[0]
+        return None
+
+    def _res(sh):
+        return (sh,) * n_res if n_res > 1 else sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _res(NamedSharding(mesh, PartitionSpec(_batch_axis(arg_shapes))))
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh = NamedSharding(mesh, PartitionSpec(_batch_axis(arg_shapes)))
+        return mesh, fn, _res(sh), (sh,) * n_args
+
+    rule = (
+        ", ".join(["b n h d"] * n_args) + " -> " + ", ".join(["b n h d"] * n_res)
+    )
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+    )
+    return cp
+
+
+_fwd_partitioned = _batch_partitioned(
+    lambda q, k, v: _flash_fwd_impl(q, k, v), n_args=3, n_res=1
+)
+_bwd_partitioned = _batch_partitioned(
+    lambda q, k, v, g: _flash_bwd_impl(q, k, v, g), n_args=4, n_res=3
+)
 
 
 def _fwd(q, k, v):
-    return _flash_fwd_impl(q, k, v), (q, k, v)
+    return _fwd_partitioned(q, k, v), (q, k, v)
 
 
 def _bwd(res, g):
     q, k, v = res
-    return _flash_bwd_impl(q, k, v, g)
+    return tuple(_bwd_partitioned(q, k, v, g))
 
 
 _flash_attention_kernel_path.defvjp(_fwd, _bwd)

@@ -67,6 +67,17 @@ def _norm_head(x_c):
     return y, s, d
 
 
+def _pixel_norm_bwd(x_c, s, d, gy, rsqrt_m: float):
+    """Exact-math VJP of _norm_head (fp32): for y = x / bf16(D),
+    D = eps + |x|/sqrt(m):  dx = g/D - x * sum(g*x) / (D^2 * |x| * sqrt(m)).
+    Shared by the per-head and pair-block backward kernels — a numerically
+    delicate formula that must not fork between the two."""
+    x = x_c.astype(jnp.float32)
+    d32 = d.astype(jnp.float32)
+    inner = jnp.sum(gy * x, axis=-1, keepdims=True)
+    return gy / d32 - x * (inner / (d32 * d32 * jnp.maximum(s, 1e-30) / rsqrt_m))
+
+
 def _for_each_head(heads: int, body, unroll: bool = False) -> None:
     """Run ``body(h)`` for h in range(heads) with static offsets.
 
@@ -158,10 +169,7 @@ def _attn_bwd_kernel(qkv_ref, g_ref, o_ref, dqkv_ref, *, heads: int, channels: i
     rsqrt_m = 1.0 / math.sqrt(hd)
 
     def pixel_norm_bwd(x_c, s, d, gy):
-        x = x_c.astype(jnp.float32)
-        d32 = d.astype(jnp.float32)
-        inner = jnp.sum(gy * x, axis=-1, keepdims=True)
-        return gy / d32 - x * (inner / (d32 * d32 * jnp.maximum(s, 1e-30) / rsqrt_m))
+        return _pixel_norm_bwd(x_c, s, d, gy, rsqrt_m)
 
     def head(h):
         q = qkv_ref[:, :, h * hd : (h + 1) * hd]  # (bb, n, hd)
@@ -312,10 +320,7 @@ def _attn_bwd_kernel_pair(
         vbd_ref[...] = jnp.zeros_like(vbd_ref)
 
     def pixel_norm_bwd(x_c, s, d, gy):
-        x = x_c.astype(jnp.float32)
-        d32 = d.astype(jnp.float32)
-        inner = jnp.sum(gy * x, axis=-1, keepdims=True)
-        return gy / d32 - x * (inner / (d32 * d32 * jnp.maximum(s, 1e-30) / rsqrt_m))
+        return _pixel_norm_bwd(x_c, s, d, gy, rsqrt_m)
 
     for p in range(heads // 2):
         q2 = qkv_ref[:, :, p * w : (p + 1) * w]

@@ -116,7 +116,22 @@ def make_mesh(
     n = len(devs)
     if n % model_parallel != 0:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
-    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+    data_size = n // model_parallel
+    pc = jax.process_count()
+    if data_size % pc != 0:
+        # the multi-host input path slices every global batch into pc
+        # contiguous rank shares and asserts they tile the data axis
+        # (process_local_slice / shard_batch); a data axis smaller than or
+        # not divisible by the process count would fail deep inside
+        # make_array_from_process_local_data with a confusing
+        # addressable-shard mismatch — fail here with the real constraint
+        raise ValueError(
+            f"mesh data axis ({data_size} = {n} devices / model_parallel="
+            f"{model_parallel}) must be a multiple of the process count "
+            f"({pc}): each process feeds a contiguous slice of the "
+            "batch-sharded data axis"
+        )
+    grid = np.asarray(devs).reshape(data_size, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
