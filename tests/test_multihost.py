@@ -74,7 +74,10 @@ def test_two_process_distributed_cpu():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            # compile-heavy workers take ~200 s on an IDLE box; a shared/
+            # loaded machine (parallel suites, background compiles) pushed
+            # a 300 s bound into flaky-timeout territory
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
