@@ -93,6 +93,7 @@ def _generate_samples(args, sample_dir, ckpt_step=None, ema_index=None) -> None:
         num_classes=args.num_classes if args.num_classes > 0 else None,
         batch_size=args.batch_size,
         num_steps=args.num_steps,
+        num_channels=args.num_channels,
         mean=tuple(args.mean),
         std=tuple(args.std),
         ckpt_step=ckpt_step,
@@ -151,6 +152,10 @@ def _score_sample_dir(args, sample_dir, feature_fn) -> dict:
 
 
 def cmd_score(args) -> None:
+    if args.skip_generate and not args.sample_dir:
+        # scoring a freshly created EMPTY temp dir would die much later
+        # with an unrelated "need at least 2 samples for covariance"
+        raise SystemExit("--skip_generate requires --sample_dir")
     sample_dir = args.sample_dir or tempfile.mkdtemp(prefix="fid_samples_")
     if not args.skip_generate:
         _generate_samples(args, sample_dir)
@@ -186,18 +191,28 @@ def _sweep_progress(n_configs: int, args):
     import time
 
     fwd = (2 * args.num_steps - 1) if args.solver == "heun" else args.num_steps
-    # guided solves run the stacked 2B (cond, guide) forward per step
-    guided = (
-        args.guide_ckpt_path is not None
-        or bool(args.guidance_scales)
-        or args.guidance_scale not in (None, 1.0)
-    )
-    mult = 2 if guided else 1
-    total = n_configs * args.num_samples * fwd * mult
+    # guided solves run the stacked 2B (cond, guide) forward per step;
+    # CFG at scale 1.0 short-circuits to the plain model (generate.py) so
+    # it must not be billed x2 — autoguidance keeps its 2 forwards at any
+    # scale (a second model supplies the guide branch)
+    if args.guidance_scales:
+        n_guided = sum(
+            1
+            for s in args.guidance_scales
+            if args.guide_ckpt_path is not None or s != 1.0
+        )
+    else:
+        guided = args.guide_ckpt_path is not None or args.guidance_scale not in (
+            None,
+            1.0,
+        )
+        n_guided = n_configs if guided else 0
+    total = args.num_samples * fwd * (n_configs + n_guided)
+    guided = n_guided > 0
     print(
         f"sweep: {n_configs} configs x {args.num_samples} samples x "
         f"{fwd} solver forwards ({args.solver}, num_steps={args.num_steps})"
-        + (" x2 (guided)" if guided else "")
+        + (f" (+{n_guided} guided configs x2)" if guided else "")
         + f" = {total / 1e6:.1f}M model forwards total; "
         f"shared noise bank (seed {args.seed}) - rows differ by "
         "model/EMA/guidance only, not sampling noise"
@@ -245,12 +260,17 @@ def cmd_sweep(args) -> None:
                          "separate sweep axes - pass one")
     for flag, vals in (("--guidance_scales", args.guidance_scales),
                        ("--posthoc_sigma_rels", args.posthoc_sigma_rels),
+                       ("--steps", args.steps),
                        ("--ema_indices", args.ema_indices if args.load_ema else None)):
         # nargs="*" permits an empty list; falling through to the full
         # every-checkpoint sweep on a swallowed value would silently start
         # hours of unintended generation — error instead
         if vals is not None and not vals:
             raise SystemExit(f"{flag} needs at least one value")
+    if not args.load_ema and args.ema_indices != [0]:
+        # an explicit --ema_indices without --load_ema would silently score
+        # the RAW weights once per step while the user expected EMA rows
+        raise SystemExit("--ema_indices needs --load_ema")
     if args.guidance_scales:
         tick = _sweep_progress(len(args.guidance_scales), args)
         for scale in args.guidance_scales:
@@ -335,6 +355,10 @@ def main(argv=None) -> None:
         pc.add_argument("--num_classes", type=int, default=0)
         pc.add_argument("--batch_size", type=int, default=128)
         pc.add_argument("--num_steps", type=int, default=32)
+        pc.add_argument(
+            "--num_channels", type=int, default=3,
+            help="sample channels (1 for MNIST checkpoints, 4 for latent-space models)",
+        )
         pc.add_argument("--load_ema", action="store_true")
         pc.add_argument("--mean", type=float, nargs="+", default=[0.49139968, 0.48215841, 0.44653091])
         pc.add_argument("--std", type=float, nargs="+", default=[0.24703223, 0.24348513, 0.26158784])

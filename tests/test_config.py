@@ -165,3 +165,71 @@ def test_imagenet512_stretch_config_shapes_and_param_count():
     assert uncertainty.shape == (2,)
     # multi-profile EMA for post-hoc reconstruction is part of the recipe
     assert len(spec.build_ema_config().sigma_rels) >= 2
+
+
+class TestRegistryEdgeCases:
+    def test_embedded_interpolation_substitutes(self, tmp_path):
+        """'prefix${a.b}' (hydra-legal) must substitute, not pass the
+        literal '${...}' through into e.g. a directory name."""
+        import yaml
+
+        from tinyedm_tpu.config.registry import load_config
+
+        p = tmp_path / "c.yaml"
+        p.write_text(yaml.safe_dump({
+            "name": "run7",
+            "out_dir": "runs/${name}",
+            "full": "${name}",
+        }))
+        cfg = load_config(p)
+        assert cfg["out_dir"] == "runs/run7"
+        assert cfg["full"] == "run7"  # full-string keeps the value type
+
+    def test_instantiate_recurses_into_lists(self):
+        """A _target_ dict inside a list (hydra callbacks-style) must
+        instantiate, not reach the constructor as a raw dict."""
+        from tinyedm_tpu.config.registry import instantiate
+        from tinyedm_tpu.diffusion.diffuser import Diffuser
+
+        out = instantiate([
+            {"_target_": "tinyedm_tpu.diffusion.diffuser.Diffuser",
+             "P_mean": -1.2, "P_std": 1.2},
+        ])
+        assert isinstance(out[0], Diffuser)
+
+    def test_override_through_scalar_names_the_override(self):
+        from tinyedm_tpu.config.registry import apply_overrides
+
+        with pytest.raises(ValueError, match="num_classes"):
+            apply_overrides(
+                {"model": {"num_classes": None}},
+                ["model.num_classes.value=10"],
+            )
+
+    def test_yaml_solver_dtype_string_survives_instantiate(self):
+        """instantiate converts any `dtype:` field to a jnp dtype class; the
+        solvers (whose dtype is a string spelling) must accept that too."""
+        import jax.numpy as jnp
+
+        from tinyedm_tpu.config.registry import instantiate
+
+        s = instantiate({
+            "_target_": "tinyedm_tpu.diffusion.solver.DeterministicSolver",
+            "num_steps": 4,
+            "dtype": "bfloat16",
+        })
+        assert s.jnp_dtype == jnp.bfloat16
+
+
+def test_num_classes_minus_one_is_unconditional():
+    """-1 is the Embedding's unconditional sentinel: spec/model.conditional
+    must be False (feeding labels would trip the Embedding's guard)."""
+    from tests.test_e2e import tiny_spec
+
+    spec = tiny_spec()
+    emb = spec.embedding.clone(num_classes=-1)
+    import dataclasses
+
+    spec = dataclasses.replace(spec, embedding=emb)
+    assert not spec.conditional
+    assert not spec.build_model().conditional

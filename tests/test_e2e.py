@@ -1123,3 +1123,33 @@ def test_solve_use_ema_without_ema_profiles_raises(tmp_path):
     # and the honest path still works
     y = trainer.solve(solver, x0, jnp.asarray([0, 1]), use_ema=False)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_eval_fid_cli_guards(tmp_path):
+    """Three loud-failure guards on the eval_fid CLI: --skip_generate
+    without --sample_dir (would score an empty temp dir), an empty --steps
+    list (would silently sweep every checkpoint), and --ema_indices without
+    --load_ema (would score raw weights labeled as EMA rows)."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parents[1] / "experiments"))
+    import eval_fid
+
+    with pytest.raises(SystemExit, match="sample_dir"):
+        eval_fid.main([
+            "score", "--ckpt_path", "unused", "--stats", "unused.npz",
+            "--skip_generate", "--features", "tests.fake_features",
+        ])
+    with pytest.raises(SystemExit, match="at least one value"):
+        eval_fid.main([
+            "sweep", "--ckpt_path", "unused", "--stats", "unused.npz",
+            "--sample_dir", str(tmp_path), "--features", "tests.fake_features",
+            "--steps",
+        ])
+    with pytest.raises(SystemExit, match="load_ema"):
+        eval_fid.main([
+            "sweep", "--ckpt_path", "unused", "--stats", "unused.npz",
+            "--sample_dir", str(tmp_path), "--features", "tests.fake_features",
+            "--ema_indices", "0", "1",
+        ])

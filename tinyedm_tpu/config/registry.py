@@ -64,16 +64,31 @@ def resolve_target(target: str) -> Any:
 
 
 _INTERP_RE = re.compile(r"^\$\{([a-zA-Z0-9_.]+)\}$")
+_EMBED_RE = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")
+
+
+def _lookup(root: Mapping[str, Any], path: str) -> Any:
+    cur: Any = root
+    for part in path.split("."):
+        cur = cur[part]
+    return cur
 
 
 def _resolve_interpolations(node: Any, root: Mapping[str, Any]) -> Any:
     if isinstance(node, str):
         m = _INTERP_RE.match(node)
         if m:
-            cur: Any = root
-            for part in m.group(1).split("."):
-                cur = cur[part]
-            return _resolve_interpolations(cur, root)
+            # full-string interpolation keeps the referenced value's TYPE
+            return _resolve_interpolations(_lookup(root, m.group(1)), root)
+        if "${" in node:
+            # embedded interpolation ("runs/${name}"): hydra-legal, so
+            # substitute stringified values — silently passing the literal
+            # "${...}" through (the old behavior) created directories named
+            # after the unresolved expression
+            return _EMBED_RE.sub(
+                lambda mm: str(_resolve_interpolations(_lookup(root, mm.group(1)), root)),
+                node,
+            )
         return node
     if isinstance(node, Mapping):
         return {k: _resolve_interpolations(v, root) for k, v in node.items()}
@@ -99,8 +114,20 @@ def apply_overrides(cfg: dict, overrides: list[str]) -> dict:
         value = yaml.safe_load(raw)
         cur = cfg
         parts = key.split(".")
-        for p in parts[:-1]:
+        for i, p in enumerate(parts[:-1]):
+            if not isinstance(cur, Mapping):
+                # descending through an existing scalar/null: name the
+                # malformed override instead of a bare AttributeError
+                raise ValueError(
+                    f"override {ov!r}: {'.'.join(parts[:i])!r} is not a "
+                    f"mapping (found {type(cur).__name__})"
+                )
             cur = cur.setdefault(p, {})
+        if not isinstance(cur, Mapping):
+            raise ValueError(
+                f"override {ov!r}: {'.'.join(parts[:-1])!r} is not a "
+                f"mapping (found {type(cur).__name__})"
+            )
         cur[parts[-1]] = value
     return _resolve_interpolations(cfg, cfg)
 
@@ -124,6 +151,11 @@ def instantiate(cfg: Any, **overrides: Any) -> Any:
             }
             return cls(**kwargs)
         return {k: instantiate(v) for k, v in cfg.items()}
+    if isinstance(cfg, (list, tuple)):
+        # hydra recurses into sequences: a _target_ dict inside a list
+        # (e.g. a callbacks list) must instantiate, not reach the
+        # constructor as a raw dict
+        return type(cfg)(instantiate(v) for v in cfg)
     return cfg
 
 

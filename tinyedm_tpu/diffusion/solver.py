@@ -55,11 +55,18 @@ class DeterministicSolver:
 
     @property
     def jnp_dtype(self):
-        if self.dtype is None or self.dtype == "float32":
+        # accept both the CLI's string spelling and an actual dtype (the
+        # config registry's instantiate converts any `dtype:` field to a
+        # jnp dtype class before construction, so YAML-built solvers arrive
+        # with jnp.bfloat16 etc., not "bfloat16")
+        d = self.dtype
+        if d is not None and not isinstance(d, str):
+            d = np.dtype(d).name  # ml_dtypes registers bfloat16 with numpy
+        if d is None or d == "float32":
             return jnp.float32
-        if self.dtype == "bfloat16":
+        if d == "bfloat16":
             return jnp.bfloat16
-        if self.dtype == "float64":
+        if d == "float64":
             if not jax.config.jax_enable_x64:
                 raise ValueError(
                     "solver dtype float64 requires jax_enable_x64 "
@@ -67,7 +74,7 @@ class DeterministicSolver:
                     "jax.config.update('jax_enable_x64', True)"
                 )
             return jnp.float64
-        if self.dtype == "float16":
+        if d == "float16":
             return jnp.float16
         raise ValueError(f"unknown solver dtype {self.dtype!r}")
 

@@ -30,7 +30,9 @@ class EDM(nn.Module):
 
     @property
     def conditional(self) -> bool:
-        return self.embedding.num_classes is not None
+        # -1 is the Embedding's unconditional sentinel (layers.py guard)
+        n = self.embedding.num_classes
+        return n is not None and n != -1
 
     @property
     def sigma_data(self) -> float:

@@ -84,7 +84,12 @@ class EDMSpec:
 
     @property
     def conditional(self) -> bool:
-        return self.embedding.num_classes is not None
+        # -1 is the Embedding's explicit unconditional sentinel
+        # (models/layers.py:287 raises if labels arrive with it) — treating
+        # it as conditional here would feed labels into that guard at trace
+        # time instead of training unconditionally
+        n = self.embedding.num_classes
+        return n is not None and n != -1
 
     def build_model(self, inference_fast: bool = False) -> EDM:
         """``inference_fast`` swaps in the fused Pallas attention kernel for
